@@ -1,0 +1,80 @@
+"""TIFF I/O and tiling tests."""
+
+import numpy as np
+import pytest
+
+from lbdrn_msic_tpu.io.tiff import read_tiff, write_tiff
+from lbdrn_msic_tpu.io.tiles import merge_tiles, split_image, tile_bounds
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+@pytest.mark.parametrize("channels", [1, 4, 8])
+def test_tiff_roundtrip(tmp_path, rng, dtype, channels):
+    if np.issubdtype(dtype, np.integer):
+        arr = rng.integers(0, np.iinfo(dtype).max, (channels, 37, 53)).astype(dtype)
+    else:
+        arr = rng.standard_normal((channels, 37, 53)).astype(dtype)
+    p = str(tmp_path / "t.tif")
+    write_tiff(p, arr)
+    back = read_tiff(p)
+    assert back.dtype == dtype
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiff_2d_input(tmp_path, rng):
+    arr = rng.integers(0, 65535, (40, 30)).astype(np.uint16)
+    p = str(tmp_path / "t.tif")
+    write_tiff(p, arr)
+    back = read_tiff(p)
+    assert back.shape == (1, 40, 30)
+    np.testing.assert_array_equal(back[0], arr)
+
+
+def test_tiff_cv2_interop(tmp_path, rng):
+    """cv2-written TIFFs must parse with our reader; single-band both ways.
+
+    (cv2's TIFF decoder collapses >1-band grayscale files to the first band,
+    so multiband interop is one-directional; cv2 is only used for JP2.)
+    """
+    cv2 = pytest.importorskip("cv2")
+    arr = rng.integers(0, 4095, (4, 64, 48)).astype(np.uint16)
+    p2 = str(tmp_path / "cv.tif")
+    assert cv2.imwrite(p2, arr.transpose(1, 2, 0))
+    back = read_tiff(p2)
+    np.testing.assert_array_equal(back, arr)
+
+    one = arr[:1]
+    p1 = str(tmp_path / "ours1.tif")
+    write_tiff(p1, one)
+    via_cv = cv2.imread(p1, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(via_cv, one[0])
+
+
+@pytest.mark.parametrize("sr", [1, 2, 3])
+def test_split_merge_roundtrip(sr):
+    img = synth_scene(97, 65, channels=2, seed=3)  # deliberately non-divisible
+    tiles = list(split_image(img, sr))
+    assert len(tiles) == sr * sr
+    merged = merge_tiles(tiles, 97, 65, sr)
+    np.testing.assert_array_equal(merged, img)
+
+
+def test_tile_bounds_remainder_semantics():
+    """Last row/col tiles absorb remainders (reference LBDRNdataset.py:62-63)."""
+    b = tile_bounds(100, 90, 3)
+    assert b[0] == (0, 0, 33, 30)
+    assert b[-1] == (66, 60, 34, 30)
+    assert sum(h * w for _, _, h, w in b[::3]) / 3  # smoke
+    total = sum(h * w for _, _, h, w in b)
+    assert total == 100 * 90
+
+
+def test_synth_scene_properties():
+    img = synth_scene(64, 64, channels=4, effective_bits=12, seed=0)
+    assert img.shape == (4, 64, 64) and img.dtype == np.uint16
+    assert img.max() < 4096
+    # spatially correlated: neighbor correlation far above iid noise
+    band = img[0].astype(np.float64)
+    c = np.corrcoef(band[:, :-1].ravel(), band[:, 1:].ravel())[0, 1]
+    assert c > 0.9
