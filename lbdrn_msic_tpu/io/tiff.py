@@ -30,7 +30,69 @@ _PLANAR = 284
 _EXTRA_SAMPLES = 338
 _SAMPLE_FORMAT = 339
 
+_PREDICTOR = 317
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early-change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table = None
+    code_len = 9
+    prev = None
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bitcnt < code_len and pos < n:
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        if bitcnt < code_len:
+            break
+        code = (bitbuf >> (bitcnt - code_len)) & ((1 << code_len) - 1)
+        bitcnt -= code_len
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_len = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if table is None:
+            raise ValueError("LZW stream missing initial clear code")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early-change: bump width one code before the table fills
+        if len(table) + 1 >= (1 << code_len) and code_len < 12:
+            code_len += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += data[i : i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
 
 
 def _read_ifd_entries(buf: bytes, off: int, en: str):
@@ -87,8 +149,9 @@ def read_tiff(path: str) -> np.ndarray:
     offsets = e[_STRIP_OFFSETS]
     counts = e[_STRIP_COUNTS]
 
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"{path}: unsupported TIFF compression {comp}")
+    predictor = e.get(_PREDICTOR, [1])[0]
     if sfmt == 1:
         dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
     elif sfmt == 2:
@@ -104,9 +167,22 @@ def read_tiff(path: str) -> np.ndarray:
         chunk = buf[off : off + cnt]
         if comp in (8, 32946):
             chunk = zlib.decompress(chunk)
+        elif comp == 5:
+            chunk = _lzw_decode(chunk)
+        elif comp == 32773:
+            chunk = _packbits_decode(chunk)
         data += chunk
     arr = np.frombuffer(bytes(data), dtype=dtype)
     arr = arr.astype(dtype.newbyteorder("="))
+    if predictor == 2:
+        # horizontal differencing predictor: undo per-row cumulative sum
+        n = height * width * spp
+        if planar == 1:
+            rows = arr[:n].reshape(height, width, spp)
+            arr = np.cumsum(rows.astype(np.int64), axis=1).astype(arr.dtype).ravel()
+        else:
+            rows = arr[:n].reshape(spp * height, width)
+            arr = np.cumsum(rows.astype(np.int64), axis=1).astype(arr.dtype).ravel()
 
     if planar == 1:
         n = height * width * spp

@@ -40,9 +40,9 @@ def test_tiff_cv2_interop(tmp_path, rng):
     cv2 = pytest.importorskip("cv2")
     arr = rng.integers(0, 4095, (4, 64, 48)).astype(np.uint16)
     p2 = str(tmp_path / "cv.tif")
-    assert cv2.imwrite(p2, arr.transpose(1, 2, 0))
-    back = read_tiff(p2)
-    np.testing.assert_array_equal(back, arr)
+    assert cv2.imwrite(p2, arr.transpose(1, 2, 0))  # cv2 treats input as BGRA
+    back = read_tiff(p2)  # exercises LZW + horizontal predictor
+    np.testing.assert_array_equal(back, arr[[2, 1, 0, 3]])  # file stores RGBA
 
     one = arr[:1]
     p1 = str(tmp_path / "ours1.tif")
