@@ -1,0 +1,157 @@
+"""Top-level codec API: encode an image array to a bitstream and back.
+
+Orchestrates the full pipeline the reference spreads over encode.py /
+decode.py __main__ (reference encode.py:167-289, decode.py:151-225):
+tile split, per-tile device training, weight + base-layer coding, header
+assembly; and the inverse.  Pure array-in/array-out — file I/O and logging
+live in cli/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbdrn_msic_tpu.codecs.base_layer import decode_base, encode_base
+from lbdrn_msic_tpu.codecs.weights import compress_weights, decompress_weights
+from lbdrn_msic_tpu.core.config import CodecConfig
+from lbdrn_msic_tpu.decode.reconstruct import reconstruct
+from lbdrn_msic_tpu.features.engine import pad_plane, split_msb_lsb
+from lbdrn_msic_tpu.io.header import (
+    StreamHeader,
+    decode_header,
+    encode_header,
+    header_from_config,
+    header_size,
+)
+from lbdrn_msic_tpu.io.tiles import merge_tiles, split_image
+from lbdrn_msic_tpu.models.siren import flatten_params, unflatten_params
+from lbdrn_msic_tpu.train.loop import FitResult, fit
+
+
+@dataclasses.dataclass
+class TileStats:
+    nn_bytes: int
+    base_bytes: int
+    best_mse: float
+    best_epoch: int
+    train_time: float
+    base_time: float
+
+
+@dataclasses.dataclass
+class EncodeStats:
+    tiles: List[TileStats]
+    total_bytes: int
+    n_subpixels: int
+    elapsed: float
+
+    @property
+    def bpsp(self) -> float:
+        return self.total_bytes * 8 / self.n_subpixels
+
+
+@dataclasses.dataclass
+class DecodeStats:
+    elapsed: float
+    header: StreamHeader
+
+
+def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
+    """Train one tile's network; returns (flat_params, msb_np, fit_result)."""
+    C, H, W = tile.shape
+    img_dev = jnp.asarray(tile)
+    msb, lsb = split_msb_lsb(img_dev, cfg.K)
+    plane = pad_plane(msb, cfg.features.D)
+    result: FitResult = fit(
+        plane, lsb, key, cfg.features, cfg.model, cfg.train, H, W, C
+    )
+    flat = flatten_params(result.params, cfg.features.feature_dim(C))
+    # reference stores MSB as uint8 when it fits (LBDRNdataset.py:100)
+    msb_np = np.asarray(msb)
+    msb_np = msb_np.astype(np.uint8) if msb_np.max() <= 255 else msb_np
+    return flat, msb_np, result
+
+
+def encode_image(
+    img: np.ndarray,
+    cfg: CodecConfig,
+    key: Optional[jax.Array] = None,
+    header_version: int = 1,
+) -> tuple[bytes, EncodeStats]:
+    """img: (C, H, W) uint16 -> (bitstream, stats)."""
+    if img.ndim == 2:
+        img = img[None]
+    C, H, W = img.shape
+    if key is None:
+        key = jax.random.PRNGKey(cfg.train.seed)
+    t0 = time.time()
+    nn_streams, base_streams, tiles_stats = [], [], []
+    for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
+        tkey = jax.random.fold_in(key, tile_idx)
+        t1 = time.time()
+        flat, msb_np, result = _train_tile(tile, cfg, tkey)
+        t2 = time.time()
+        nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+        base = encode_base(msb_np, cfg.base_codec)
+        t3 = time.time()
+        nn_streams.append(nn)
+        base_streams.append(base)
+        tiles_stats.append(
+            TileStats(
+                nn_bytes=len(nn),
+                base_bytes=len(base),
+                best_mse=float(result.best_mse),
+                best_epoch=int(result.best_epoch),
+                train_time=t2 - t1,
+                base_time=t3 - t2,
+            )
+        )
+    header = header_from_config(
+        cfg, W, H,
+        [len(s) for s in nn_streams],
+        [len(s) for s in base_streams],
+        version=header_version,
+    )
+    out = bytearray(encode_header(header))
+    for nn, base in zip(nn_streams, base_streams):
+        out += nn
+        out += base
+    stream = bytes(out)
+    stats = EncodeStats(
+        tiles=tiles_stats,
+        total_bytes=len(stream),
+        n_subpixels=C * H * W,
+        elapsed=time.time() - t0,
+    )
+    return stream, stats
+
+
+def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
+    """bitstream -> ((C, H, W) uint16 image, stats)."""
+    t0 = time.time()
+    header = decode_header(data)
+    ptr = header_size(data)
+    fspec = header.feature_spec()
+    mspec = header.model_spec()
+    tiles = []
+    for t in range(header.n_tiles):
+        nn = data[ptr : ptr + header.nn_bytes[t]]
+        ptr += header.nn_bytes[t]
+        base_stream = data[ptr : ptr + header.base_bytes[t]]
+        ptr += header.base_bytes[t]
+        base = decode_base(base_stream, header.base_codec).astype(np.uint16)
+        C, th, tw = base.shape
+        flat = decompress_weights(nn, header.weight_codec)
+        params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
+        rec = reconstruct(
+            jnp.asarray(base), params, fspec, mspec, header.K, th, tw
+        )
+        tiles.append(np.asarray(rec))
+    img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
+    return img, DecodeStats(elapsed=time.time() - t0, header=header)

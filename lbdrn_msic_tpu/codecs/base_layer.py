@@ -1,0 +1,121 @@
+"""Lossless base-layer codec.
+
+The reference codes the MSB plane with lossless JPEG 2000 via
+``gdal_translate -of JP2OpenJPEG -co QUALITY=100 -co REVERSIBLE=YES``
+(reference encode.py:137, decode.py:69).  Here:
+
+- ``jp2`` — lossless JPEG 2000 through OpenCV's OpenJPEG binding (same
+  underlying codec family as the reference's GDAL driver).  Bands are packed
+  into groups of <= 4 channels per codestream (OpenJPEG-via-cv2 channel
+  limit); a tiny container records the grouping.
+- ``lpc`` — the framework's native C++ lossless predictive coder
+  (codecs/native/lpc.cc): MED/GAP-style prediction + adaptive range coding,
+  built for 10/12-bit satellite bands.  Usually out-compresses JP2 here.
+
+Both are host-side stages meant to overlap with device training.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+import numpy as np
+
+_JP2_MAGIC = b"LJ2C"
+_LPC_MAGIC = b"LLPC"
+
+
+def _band_groups(c: int) -> List[int]:
+    groups = [4] * (c // 4)
+    r = c % 4
+    if r == 3:
+        groups.append(3)
+    elif r == 2:
+        groups.extend([1, 1])
+    elif r == 1:
+        groups.append(1)
+    return groups
+
+
+def _encode_jp2(msb: np.ndarray) -> bytes:
+    import cv2
+
+    c, h, w = msb.shape
+    groups = _band_groups(c)
+    payloads = []
+    i = 0
+    for g in groups:
+        chunk = msb[i : i + g]
+        i += g
+        hwc = np.ascontiguousarray(chunk.transpose(1, 2, 0))
+        if g == 1:
+            hwc = hwc[:, :, 0]
+        ok, buf = cv2.imencode(
+            ".jp2", hwc, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
+        )
+        if not ok:
+            raise RuntimeError("cv2 JPEG2000 encode failed")
+        payloads.append(bytes(buf))
+    out = bytearray(_JP2_MAGIC)
+    out.append(1)  # version
+    out.append(len(groups))
+    out.append(1 if msb.dtype == np.uint8 else 2)
+    for g, p in zip(groups, payloads):
+        out.append(g)
+        out += struct.pack("<I", len(p))
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def _decode_jp2(data: bytes) -> np.ndarray:
+    import cv2
+
+    if data[:4] != _JP2_MAGIC or data[4] != 1:
+        raise ValueError("not an LJ2C stream")
+    n_groups = data[5]
+    itemsize = data[6]
+    ptr = 7
+    sizes, groups = [], []
+    for _ in range(n_groups):
+        groups.append(data[ptr])
+        sizes.append(struct.unpack_from("<I", data, ptr + 1)[0])
+        ptr += 5
+    bands = []
+    for g, sz in zip(groups, sizes):
+        buf = np.frombuffer(data[ptr : ptr + sz], dtype=np.uint8)
+        ptr += sz
+        img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise RuntimeError("cv2 JPEG2000 decode failed")
+        if img.ndim == 2:
+            img = img[:, :, None]
+        bands.append(img.transpose(2, 0, 1))
+    out = np.concatenate(bands, axis=0)
+    want = np.uint8 if itemsize == 1 else np.uint16
+    return out.astype(want, copy=False)
+
+
+def encode_base(msb: np.ndarray, codec: str = "jp2") -> bytes:
+    """msb: (C, H, W) uint8/uint16 base plane -> lossless codestream."""
+    if msb.ndim != 3:
+        raise ValueError(f"expected CHW, got {msb.shape}")
+    if codec == "jp2":
+        return _encode_jp2(msb)
+    if codec == "lpc":
+        from lbdrn_msic_tpu.codecs import lpc
+
+        return lpc.encode(msb)
+    raise ValueError(f"unknown base codec {codec!r}")
+
+
+def decode_base(data: bytes, codec: str = "jp2") -> np.ndarray:
+    """Inverse of encode_base; returns (C, H, W) with the stored dtype."""
+    if codec == "jp2":
+        return _decode_jp2(data)
+    if codec == "lpc":
+        from lbdrn_msic_tpu.codecs import lpc
+
+        return lpc.decode(data)
+    raise ValueError(f"unknown base codec {codec!r}")

@@ -1,0 +1,209 @@
+"""The per-image overfit loop, fully on device.
+
+Where the reference runs a Python/ignite loop with a host DataLoader feeding
+tiny CUDA batches (reference encode.py:67-157, modified_ignite_engine.py:18-27
+— the dominant cost there is per-batch host overhead, SURVEY §3.1), here the
+*entire* training run — per-epoch pixel permutation, feature gather, forward,
+backward, Adam, StepLR, periodic full-image MSE eval, best-params tracking —
+is one jitted program: ``lax.scan`` over epochs, ``lax.scan`` over steps,
+``lax.cond`` for the eval cadence.  Zero host round trips until the final
+weights come back.
+
+Faithful semantics (for RD parity with the reference at matched settings):
+- per-epoch shuffle = fresh random permutation of all H*W pixels; the last
+  partial batch is kept and masked (DataLoader drop_last=False),
+- loss = MSE over the batch (reference LBDRNloss.py:4-11),
+- Adam(lr) with torch defaults + StepLR(step_size=max(1, epochs//3),
+  gamma=0.1) stepped at epoch end (reference encode.py:84-85),
+- every ``val_every`` epochs, full-dataset MSE decides a strict-improvement
+  best-params checkpoint (reference encode.py:96-117); with epochs == 1 the
+  final weights are taken directly (reference encode.py:100-103).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
+from lbdrn_msic_tpu.features.engine import (
+    gather_features,
+    gather_labels,
+    row_block_features,
+)
+from lbdrn_msic_tpu.models.siren import (
+    SirenParams,
+    forward,
+    init_params,
+    pad_dim,
+    pad_features,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FitResult:
+    params: SirenParams  # best-MSE params (the bitstream payload)
+    best_mse: jnp.ndarray
+    best_epoch: jnp.ndarray  # 1-indexed, -1 if never evaluated
+    final_params: SirenParams
+    epoch_losses: jnp.ndarray  # (epochs,) mean train loss per epoch
+
+
+def make_lr_schedule(tspec: TrainSpec, steps_per_epoch: int):
+    step_size = tspec.lr_step_size()
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return tspec.lr * (tspec.lr_gamma ** (epoch // step_size))
+
+    return schedule
+
+
+def _masked_mse(pred, y, mask):
+    se = (pred - y) ** 2 * mask[:, None]
+    return se.sum() / (mask.sum() * y.shape[-1])
+
+
+def dataset_mse(
+    params: SirenParams,
+    plane: jnp.ndarray,
+    lsb: jnp.ndarray,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    H: int,
+    W: int,
+    block_rows: int,
+    padded_in: int,
+) -> jnp.ndarray:
+    """Full-image MSE via the slice path (one scan over row blocks)."""
+    C = lsb.shape[0]
+    R = block_rows
+    n_blocks = -(-H // R)
+
+    def body(acc, b):
+        r0 = jnp.minimum(b * R, H - R)
+        x = row_block_features(plane, r0, fspec, H, W, R)
+        pred = forward(params, pad_features(x, padded_in), mspec)
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        valid = (rows >= b * R) & (rows < H)  # skip rows a clamped r0 re-reads
+        mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
+        y = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, R, W))
+        y = jnp.transpose(y, (1, 2, 0)).reshape(R * W, C)
+        sse = (((pred - y) ** 2) * mask[:, None]).sum()
+        return acc + sse, None
+
+    sse, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_blocks))
+    return sse / (H * W * C)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fspec", "mspec", "tspec", "H", "W", "C")
+)
+def fit(
+    plane: jnp.ndarray,
+    lsb: jnp.ndarray,
+    key: jax.Array,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    tspec: TrainSpec,
+    H: int,
+    W: int,
+    C: int,
+) -> FitResult:
+    """Overfit one network to one image tile; everything on device."""
+    dim_in = fspec.feature_dim(C)
+    padded_in = pad_dim(dim_in)
+    n = H * W
+    bs = min(tspec.batch_size, n)
+    steps_per_epoch = -(-n // bs)
+    pad_n = steps_per_epoch * bs
+    block_rows = min(H, max(1, 1 << 17 // max(W, 1)))
+
+    key, init_key = jax.random.split(key)
+    params = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)
+
+    opt = optax.adam(make_lr_schedule(tspec, steps_per_epoch))
+    opt_state = opt.init(params)
+
+    def train_step(carry, step_perm):
+        params, opt_state = carry
+        idx = step_perm
+        mask = (idx < n).astype(jnp.float32)
+
+        def loss_fn(p):
+            x = gather_features(plane, idx, fspec, H, W)
+            x = pad_features(x, padded_in)
+            y = gather_labels(lsb, idx)
+            pred = forward(p, x, mspec)
+            return _masked_mse(pred, y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def epoch_body(carry, epoch_idx):
+        params, opt_state, best_params, best_mse, best_epoch, key = carry
+        key, pk = jax.random.split(key)
+        perm = jax.random.permutation(pk, n)
+        perm = jnp.concatenate(
+            [perm, jnp.full((pad_n - n,), n, dtype=perm.dtype)]
+        ).reshape(steps_per_epoch, bs)
+        (params, opt_state), losses = jax.lax.scan(
+            train_step, (params, opt_state), perm
+        )
+
+        if tspec.epochs == 1:
+            best_params, best_mse = params, losses.mean()
+            best_epoch = jnp.int32(1)
+        else:
+            def run_eval(args):
+                params, best_params, best_mse, best_epoch = args
+                mse = dataset_mse(
+                    params, plane, lsb, fspec, mspec, H, W, block_rows, padded_in
+                )
+                better = mse < best_mse
+                new_best = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old),
+                    params,
+                    best_params,
+                )
+                return (
+                    new_best,
+                    jnp.where(better, mse, best_mse),
+                    jnp.where(better, epoch_idx + 1, best_epoch),
+                )
+
+            def skip_eval(args):
+                _, best_params, best_mse, best_epoch = args
+                return best_params, best_mse, best_epoch
+
+            do_eval = (epoch_idx + 1) % min(tspec.val_every, tspec.epochs) == 0
+            best_params, best_mse, best_epoch = jax.lax.cond(
+                do_eval, run_eval, skip_eval,
+                (params, best_params, best_mse, best_epoch),
+            )
+        return (
+            (params, opt_state, best_params, best_mse, best_epoch, key),
+            losses.mean(),
+        )
+
+    best0 = jax.tree.map(jnp.zeros_like, params)
+    carry0 = (params, opt_state, best0, jnp.float32(1e6), jnp.int32(-1), key)
+    carry, epoch_losses = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(tspec.epochs)
+    )
+    params, _, best_params, best_mse, best_epoch, _ = carry
+    return FitResult(
+        params=best_params,
+        best_mse=best_mse,
+        best_epoch=best_epoch,
+        final_params=params,
+        epoch_losses=epoch_losses,
+    )
