@@ -1,0 +1,90 @@
+"""End-to-end encode/decode round trips (the reference's de-facto test mode:
+run.sh encodes then decodes every (image, K) and checks PSNR — SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from lbdrn_msic_tpu.codec import decode_stream, encode_image
+from lbdrn_msic_tpu.core.config import CodecConfig, FeatureSpec, ModelSpec, TrainSpec
+from lbdrn_msic_tpu.eval.metrics import psnr
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+FAST_TRAIN = TrainSpec(epochs=3, batch_size=4096)
+
+
+def _baseline_psnr(img, K):
+    """PSNR of just dropping the LSBs (the reference's Baseline anchor,
+    SOTA.py:145-146 decodes with zero LSBs)."""
+    base = (img >> K) << K
+    return psnr(img, base)
+
+
+@pytest.mark.parametrize("K", [2, 5])
+def test_roundtrip_beats_baseline(K):
+    img = synth_scene(128, 128, channels=4, effective_bits=12, seed=11)
+    cfg = CodecConfig(K=K, train=FAST_TRAIN)
+    stream, stats = encode_image(img, cfg)
+    rec, dstats = decode_stream(stream)
+    assert rec.shape == img.shape and rec.dtype == np.uint16
+    p = psnr(img, rec)
+    pb = _baseline_psnr(img, K)
+    assert p > pb + 1.0, f"LBDRN {p:.2f} dB vs baseline {pb:.2f} dB at K={K}"
+    # MSB path must be perfectly preserved
+    np.testing.assert_array_equal(rec >> K, img >> K)
+
+
+def test_roundtrip_deterministic():
+    img = synth_scene(64, 64, channels=2, seed=3)
+    cfg = CodecConfig(K=4, train=TrainSpec(epochs=2, batch_size=2048))
+    s1, _ = encode_image(img, cfg)
+    s2, _ = encode_image(img, cfg)
+    assert s1 == s2
+
+
+def test_split_ratio_roundtrip():
+    img = synth_scene(100, 90, channels=3, seed=5)  # non-divisible dims
+    cfg = CodecConfig(K=5, split_ratio=2, train=FAST_TRAIN)
+    stream, stats = encode_image(img, cfg)
+    assert len(stats.tiles) == 4
+    rec, dstats = decode_stream(stream)
+    assert dstats.header.split_ratio == 2
+    assert rec.shape == img.shape
+    np.testing.assert_array_equal(rec >> 5, img >> 5)
+    assert psnr(img, rec) > _baseline_psnr(img, 5)
+
+
+def test_v0_header_roundtrip():
+    img = synth_scene(64, 64, channels=4, seed=9)
+    cfg = CodecConfig(K=5, train=TrainSpec(epochs=1, batch_size=4096))
+    stream, _ = encode_image(img, cfg, header_version=0)
+    rec, dstats = decode_stream(stream)
+    assert dstats.header.version == 0
+    np.testing.assert_array_equal(rec >> 5, img >> 5)
+
+
+def test_nondefault_features_selfdescribing():
+    """v1 streams carry the feature flags; decode needs no side channel."""
+    img = synth_scene(64, 64, channels=2, seed=13)
+    cfg = CodecConfig(
+        K=3,
+        features=FeatureSpec(use_coords=True, D=1),
+        model=ModelSpec(base_channel=32, num_layers=1),
+        train=TrainSpec(epochs=2, batch_size=2048),
+    )
+    stream, _ = encode_image(img, cfg)
+    rec, dstats = decode_stream(stream)
+    assert dstats.header.use_coords and dstats.header.D == 1
+    assert dstats.header.base_channel == 32
+    np.testing.assert_array_equal(rec >> 3, img >> 3)
+
+
+def test_stream_sizes_accounted():
+    img = synth_scene(64, 64, channels=4, seed=17)
+    cfg = CodecConfig(K=5, train=TrainSpec(epochs=1, batch_size=4096))
+    stream, stats = encode_image(img, cfg)
+    t = stats.tiles[0]
+    from lbdrn_msic_tpu.io.header import decode_header, header_size
+
+    h = decode_header(stream)
+    assert h.nn_bytes == [t.nn_bytes] and h.base_bytes == [t.base_bytes]
+    assert len(stream) == header_size(stream) + t.nn_bytes + t.base_bytes
