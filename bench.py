@@ -1,0 +1,77 @@
+"""Headline benchmark: end-to-end encode throughput on one chip.
+
+Encodes a synthetic 2048x2048x4-band 12-bit scene (the shape of the
+reference's README smoke input, `data/sample.tif` — an LFS blob missing from
+the snapshot) at the reference default config K=5, D=2, bc=64, nl=2,
+lr=1e-3, bs=8192, e=10 (reference README.md:18), then decodes and verifies.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no wall-clock numbers (SURVEY §6) and its
+stack (fpzip/GDAL/CUDA-torch) cannot run in this image.  `vs_baseline` is
+therefore measured against REF_BASELINE_MPX_S = 0.30 Mpixels/s — an estimate
+of the reference encoder's GPU throughput from its hot-loop structure (5120
+DataLoader-bound iterations + serial host codecs for a 4.19-Mpixel tile,
+tens of ms/iter dominated by per-batch Python/host overhead, SURVEY §3.1).
+Re-measure and replace when the reference stack is available.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_MPX_S = 0.30
+
+
+def main():
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.eval.metrics import psnr
+    from lbdrn_msic_tpu.utils.synth import synth_scene
+
+    H = W = 2048
+    img = synth_scene(H, W, channels=4, effective_bits=12, seed=42)
+    cfg = CodecConfig(K=5)
+
+    # warm-up run compiles every jitted program for these static shapes
+    t0 = time.time()
+    encode_image(img, cfg)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    stream, stats = encode_image(img, cfg)
+    enc_s = time.time() - t0
+
+    t0 = time.time()
+    rec, _ = decode_stream(stream)
+    dec_s = time.time() - t0
+
+    mpx = H * W / 1e6
+    p = psnr(img, rec)
+    print(
+        f"[bench] encode {enc_s:.2f}s (warm-up {warm:.2f}s) decode {dec_s:.2f}s | "
+        f"PSNR {p:.2f} dB bpsp {stats.bpsp:.3f} | "
+        f"tile train {stats.tiles[0].train_time:.2f}s base-codec {stats.tiles[0].base_time:.2f}s",
+        file=sys.stderr,
+    )
+    assert np.array_equal(rec >> 5, img >> 5), "MSB path corrupted"
+
+    value = mpx / enc_s
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput",
+                "value": round(value, 4),
+                "unit": "Mpixels/s/chip",
+                "vs_baseline": round(value / REF_BASELINE_MPX_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,13 @@ from lbdrn_msic_tpu.codecs.base_layer import decode_base, encode_base
 from lbdrn_msic_tpu.codecs.weights import compress_weights, decompress_weights
 from lbdrn_msic_tpu.core.config import CodecConfig
 from lbdrn_msic_tpu.decode.reconstruct import reconstruct
-from lbdrn_msic_tpu.features.engine import pad_plane, split_msb_lsb
+from lbdrn_msic_tpu.features.engine import (
+    build_label_matrix,
+    lsb_scale,
+    pad_plane,
+    split_msb_lsb,
+    tap_matrix_dtype,
+)
 from lbdrn_msic_tpu.io.header import (
     StreamHeader,
     decode_header,
@@ -62,19 +68,40 @@ class DecodeStats:
     header: StreamHeader
 
 
+STAGE_BUDGET_BYTES = 8 << 30  # tap-matrix staging budget per tile
+
+
 def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
-    """Train one tile's network; returns (flat_params, msb_np, fit_result)."""
+    """Train one tile's network; returns (flat_params, msb_np, fit_result).
+
+    The MSB split is done on the host too (cheap numpy) so the base-layer
+    codec never waits on a device->host transfer of the full plane.
+    """
     C, H, W = tile.shape
-    img_dev = jnp.asarray(tile)
-    msb, lsb = split_msb_lsb(img_dev, cfg.K)
-    plane = pad_plane(msb, cfg.features.D)
-    result: FitResult = fit(
-        plane, lsb, key, cfg.features, cfg.model, cfg.train, H, W, C
+    fspec = cfg.features
+    # host-side split for the base layer stream
+    msb_np = tile >> cfg.K
+    max_msb = int(msb_np.max())
+    # device-side prep for training
+    msb, lsb = split_msb_lsb(jnp.asarray(tile), cfg.K)
+    plane, plane_scale = pad_plane(msb, fspec.D)
+    labels = build_label_matrix(lsb)
+    label_scale = jnp.float32(lsb_scale(cfg.K))
+
+    side = 2 * fspec.D + 1
+    dtype = tap_matrix_dtype(max_msb, fspec.relative)
+    staged = (
+        fspec.use_colors
+        and H * W * C * side * side * jnp.dtype(dtype).itemsize <= STAGE_BUDGET_BYTES
     )
-    flat = flatten_params(result.params, cfg.features.feature_dim(C))
+    result: FitResult = fit(
+        plane, plane_scale, labels, label_scale, key,
+        fspec, cfg.model, cfg.train, H, W, C,
+        staged=staged, tap_dtype=jnp.dtype(dtype).name,
+    )
+    flat = flatten_params(result.params, fspec.feature_dim(C))
     # reference stores MSB as uint8 when it fits (LBDRNdataset.py:100)
-    msb_np = np.asarray(msb)
-    msb_np = msb_np.astype(np.uint8) if msb_np.max() <= 255 else msb_np
+    msb_np = msb_np.astype(np.uint8) if max_msb <= 255 else msb_np.astype(np.uint16)
     return flat, msb_np, result
 
 

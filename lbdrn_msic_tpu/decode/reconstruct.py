@@ -41,7 +41,7 @@ def reconstruct(
 ) -> jnp.ndarray:
     """base: (C, H, W) uint16 decoded base layer -> (C, H, W) uint16 image."""
     C = base.shape[0]
-    plane = pad_plane(base, fspec.D)
+    plane, scale = pad_plane(base, fspec.D)
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     R = min(block_rows, H)
@@ -49,7 +49,7 @@ def reconstruct(
 
     def body(_, b):
         r0 = jnp.minimum(b * R, H - R)
-        x = row_block_features(plane, r0, fspec, H, W, R)
+        x = row_block_features(plane, scale, r0, fspec, H, W, R)
         pred = forward(params, pad_features(x, padded_in), mspec)
         residual = jnp.round(pred * float(2**K - 1))  # (R*W, C)
         residual = residual.reshape(R, W, C).transpose(2, 0, 1)

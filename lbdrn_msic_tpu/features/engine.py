@@ -1,21 +1,31 @@
 """On-device feature/label engine.
 
 Semantics match the reference pipeline (reference LBDRNdataset.py:92-133 /
-decode.py:77-102) but the design is TPU-first: instead of materializing the
-full (H*W, feature_dim) float tensor on the host (19+ GB for a Gaofen scene),
-the padded normalized base plane lives in HBM and per-pixel feature vectors
-are built on the fly —
+decode.py:77-102) but the design is TPU-first.  The reference materializes a
+full (H*W, feature_dim) float32 tensor on the host (19+ GB for a Gaofen
+scene); scalar-gathering neighborhoods on the fly is HBM-friendly but maps
+to TPU scalar gathers (~1 GB/s — measured 3.5 ms per 8192x100 batch).  So
+the engine works in **integer tap space**:
 
-- **gather path** (training): random pixel batches gather their (2D+1)^2
-  neighborhoods from the flattened plane with one fused XLA gather,
-- **slice path** (eval / decode): contiguous row blocks build neighborhoods
-  as stacked shifted slices, which XLA fuses into pure vector ops (no gather
-  hardware cost).
+- the padded base plane is kept as uint16; a feature is
+  ``float32(tap - center) * (1/max)`` — integer subtract, one convert, one
+  scale multiply.  Values differ from the reference's
+  ``tap/max - center/max`` float pipeline only in final-ULP rounding.
+- **staged path** (training, preferred): all (2D+1)^2 integer taps are
+  materialized once as an (N, C*(2D+1)^2) int8/int16 matrix via the slice
+  path; a training batch is then one vectorized *row* gather
+  (~0.13 ms per 8192x128 batch, 25x faster than scalar gathers).
+- **slice path** (eval / decode / staging): contiguous row blocks build
+  neighborhoods as stacked shifted slices — no gathers at all.
+- **gather path** (fallback for tiles whose tap matrix exceeds the memory
+  budget): the original scalar-gather construction.
+
+All three paths produce bit-identical float32 features.
 
 Feature vector layout per pixel (identical to the reference's
 ``sliding_window_view`` ordering, LBDRNdataset.py:119-129):
 ``[coords?] ++ [band0: (2D+1)^2 taps row-major, band1: ..., ...]`` with taps
-optionally center-subtracted (RELATIVE) and the plane max-normalized.
+optionally center-subtracted (RELATIVE) and max-normalized.
 """
 
 from __future__ import annotations
@@ -34,27 +44,31 @@ def split_msb_lsb(img: jnp.ndarray, K: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """MSB/LSB split (reference LBDRNdataset.py:94-97).
 
     img: (C, H, W) uint16.  Returns (MSB uint16 (C,H,W),
-    LSB float32 (C,H,W) normalized by 2^K - 1).
+    LSB uint16 (C,H,W) raw integers in [0, 2^K - 1]).
     """
     img = img.astype(jnp.uint16)
     msb = img >> K
-    lsb = (img - (msb << K)).astype(jnp.float32) / float(2**K - 1)
+    lsb = img - (msb << K)
     return msb, lsb
 
 
-def pad_plane(msb: jnp.ndarray, D: int) -> jnp.ndarray:
-    """Reflect-pad the max-normalized base plane (reference
-    LBDRNdataset.py:119-123).
+def lsb_scale(K: int) -> float:
+    """Label normalizer 1/(2^K - 1) (reference LBDRNdataset.py:96)."""
+    return 1.0 / float(2**K - 1)
 
-    msb: (C, H, W) integer base layer.  Returns float32
-    (C, H + 2D, W + 2D).  The max is global over all bands; a zero plane
-    normalizes by 1 instead of producing NaNs.
+
+def pad_plane(msb: jnp.ndarray, D: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reflect-pad the base plane, keeping integers
+    (reference LBDRNdataset.py:119-123 does pad(msb/max)).
+
+    msb: (C, H, W) integer base layer.  Returns (uint16 (C, H+2D, W+2D),
+    float32 scalar scale = 1/max).  A zero plane normalizes by 1.
     """
-    scale = jnp.maximum(msb.max().astype(jnp.float32), 1.0)
-    plane = msb.astype(jnp.float32) / scale
+    plane = msb.astype(jnp.uint16)
+    scale = 1.0 / jnp.maximum(plane.max().astype(jnp.float32), 1.0)
     if D > 0:
         plane = jnp.pad(plane, ((0, 0), (D, D), (D, D)), mode="reflect")
-    return plane
+    return plane, scale
 
 
 def _coord_features(ii: jnp.ndarray, jj: jnp.ndarray, H: int, W: int, spec: FeatureSpec):
@@ -80,16 +94,16 @@ def _coord_features(ii: jnp.ndarray, jj: jnp.ndarray, H: int, W: int, spec: Feat
 @functools.partial(jax.jit, static_argnames=("spec", "H", "W"))
 def gather_features(
     plane: jnp.ndarray,
+    scale: jnp.ndarray,
     pixel_idx: jnp.ndarray,
     spec: FeatureSpec,
     H: int,
     W: int,
 ) -> jnp.ndarray:
-    """Build feature vectors for a batch of flat pixel indices.
+    """Scalar-gather fallback: features for a batch of flat pixel indices.
 
-    plane: (C, H+2D, W+2D) float32 padded normalized base plane.
-    pixel_idx: (B,) int32 flat indices into the H*W pixel grid (callers mask
-    out-of-range sentinels themselves; indices are clipped here).
+    plane: (C, H+2D, W+2D) uint16 padded plane; scale: 1/max.
+    pixel_idx: (B,) int32 flat indices into the H*W grid (clipped here).
     Returns (B, feature_dim) float32.
     """
     C = plane.shape[0]
@@ -108,34 +122,55 @@ def gather_features(
         offs = (np.arange(side)[:, None] * Wp + np.arange(side)[None, :]).reshape(-1)
         offs = jnp.asarray(offs, dtype=idx.dtype)
         win_idx = base[:, None] + offs[None, :]  # (B, side^2)
-        flat = plane.reshape(C, -1)
+        flat = plane.reshape(C, -1).astype(jnp.int32)
         taps = flat[:, win_idx.reshape(-1)].reshape(C, -1, side * side)
         taps = jnp.transpose(taps, (1, 0, 2))  # (B, C, side^2)
         if spec.relative and D > 0:
             center = taps[:, :, (side * side) // 2][:, :, None]
             taps = taps - center
-        feats.append(taps.reshape(taps.shape[0], -1))
+        feats.append(taps.reshape(taps.shape[0], -1).astype(jnp.float32) * scale)
     return jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+
+
+def _block_taps_int(
+    plane: jnp.ndarray, r0: jnp.ndarray, spec: FeatureSpec, W: int, R: int
+) -> jnp.ndarray:
+    """(R*W, C*side^2) int32 taps (center-subtracted if RELATIVE) for R rows."""
+    C = plane.shape[0]
+    D = spec.D
+    side = 2 * D + 1
+    block = jax.lax.dynamic_slice(
+        plane, (0, r0, 0), (C, R + 2 * D, W + 2 * D)
+    ).astype(jnp.int32)
+    taps = jnp.stack(
+        [
+            jax.lax.dynamic_slice(block, (0, di, dj), (C, R, W))
+            for di in range(side)
+            for dj in range(side)
+        ],
+        axis=1,
+    )  # (C, side^2, R, W)
+    if spec.relative and D > 0:
+        center = taps[:, (side * side) // 2][:, None]
+        taps = taps - center
+    return jnp.transpose(taps, (2, 3, 0, 1)).reshape(R * W, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "H", "W", "block_rows"))
 def row_block_features(
     plane: jnp.ndarray,
+    scale: jnp.ndarray,
     r0: jnp.ndarray,
     spec: FeatureSpec,
     H: int,
     W: int,
     block_rows: int,
 ) -> jnp.ndarray:
-    """Feature vectors for `block_rows` contiguous rows starting at row r0.
+    """Slice path: features for `block_rows` contiguous rows starting at r0.
 
-    Pure-slice construction (no gather): for each window offset (di, dj) take
-    plane[:, r0+di : r0+di+R, dj : dj+W].  r0 may be traced (dynamic_slice);
-    rows beyond H-block_rows must be handled by the caller via clamping.
+    r0 may be traced (dynamic_slice); callers clamp r0 <= H - block_rows.
     Returns (block_rows * W, feature_dim) float32, row-major.
     """
-    C = plane.shape[0]
-    D = spec.D
     R = block_rows
     feats = []
     if spec.use_coords:
@@ -143,29 +178,83 @@ def row_block_features(
         jj = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
         feats.append(_coord_features(ii, jj, H, W, spec).reshape(R * W, -1))
     if spec.use_colors:
-        side = 2 * D + 1
-        block = jax.lax.dynamic_slice(
-            plane, (0, r0, 0), (C, R + 2 * D, W + 2 * D)
-        )  # (C, R+2D, W+2D)
-        taps = jnp.stack(
-            [
-                jax.lax.dynamic_slice(block, (0, di, dj), (C, R, W))
-                for di in range(side)
-                for dj in range(side)
-            ],
-            axis=1,
-        )  # (C, side^2, R, W)
-        if spec.relative and D > 0:
-            center = taps[:, (side * side) // 2][:, None]
-            taps = taps - center
-        taps = jnp.transpose(taps, (2, 3, 0, 1)).reshape(R * W, -1)
-        feats.append(taps)
+        taps = _block_taps_int(plane, r0, spec, W, R)
+        feats.append(taps.astype(jnp.float32) * scale)
     return jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
 
 
-def gather_labels(lsb: jnp.ndarray, pixel_idx: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel LSB label vectors: (B, C) from (C, H, W) normalized LSB."""
+def tap_matrix_dtype(max_value: int, relative: bool):
+    """Smallest integer dtype that holds every possible tap value.
+
+    relative taps span [-max, max]; absolute taps span [0, max].
+    """
+    if relative:
+        if max_value <= 127:
+            return jnp.int8
+        if max_value <= 32767:
+            return jnp.int16
+        return jnp.int32
+    if max_value <= 255:
+        return jnp.uint8
+    return jnp.uint16
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "dtype"))
+def build_tap_matrix(
+    plane: jnp.ndarray,
+    spec: FeatureSpec,
+    H: int,
+    W: int,
+    dtype=jnp.int16,
+) -> jnp.ndarray:
+    """Materialize all pixels' integer taps: (H*W, C*(2D+1)^2) `dtype`.
+
+    Built block-by-block with the slice path (vector ops only); this is the
+    staging step that turns training batches into pure row gathers.
+    """
+    C = plane.shape[0]
+    side = 2 * spec.D + 1
+    F = C * side * side
+    R = min(H, max(1, (1 << 17) // max(W, 1)))
+    n_blocks = -(-H // R)
+    out = jnp.zeros((H * W, F), dtype)
+
+    def body(out, b):
+        r0 = jnp.minimum(b * R, H - R)
+        taps = _block_taps_int(plane, r0, spec, W, R).astype(dtype)
+        return jax.lax.dynamic_update_slice(out, taps, (r0 * W, 0)), None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(n_blocks))
+    return out
+
+
+def staged_features(
+    taps: jnp.ndarray,
+    scale: jnp.ndarray,
+    pixel_idx: jnp.ndarray,
+    spec: FeatureSpec,
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Staged path: one row gather + scale; coords computed from the index."""
+    rows = taps[pixel_idx].astype(jnp.float32) * scale  # (B, C*side^2)
+    if not spec.use_coords:
+        return rows
+    ii = pixel_idx // W
+    jj = pixel_idx % W
+    coords = _coord_features(ii, jj, H, W, spec)
+    return jnp.concatenate([coords, rows], axis=-1)
+
+
+def build_label_matrix(lsb: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) integer LSB -> (H*W, C) uint16 row-major label matrix."""
     C = lsb.shape[0]
-    flat = lsb.reshape(C, -1)
-    idx = jnp.clip(pixel_idx, 0, flat.shape[1] - 1)
-    return jnp.transpose(flat[:, idx], (1, 0))
+    return jnp.transpose(lsb.reshape(C, -1), (1, 0)).astype(jnp.uint16)
+
+
+def gather_labels(
+    label_matrix: jnp.ndarray, scale: jnp.ndarray, pixel_idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Row-gather per-pixel LSB label vectors: (B, C) float32 * 1/(2^K-1)."""
+    idx = jnp.clip(pixel_idx, 0, label_matrix.shape[0] - 1)
+    return label_matrix[idx].astype(jnp.float32) * scale

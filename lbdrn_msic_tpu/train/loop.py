@@ -3,11 +3,17 @@
 Where the reference runs a Python/ignite loop with a host DataLoader feeding
 tiny CUDA batches (reference encode.py:67-157, modified_ignite_engine.py:18-27
 — the dominant cost there is per-batch host overhead, SURVEY §3.1), here the
-*entire* training run — per-epoch pixel permutation, feature gather, forward,
-backward, Adam, StepLR, periodic full-image MSE eval, best-params tracking —
-is one jitted program: ``lax.scan`` over epochs, ``lax.scan`` over steps,
-``lax.cond`` for the eval cadence.  Zero host round trips until the final
-weights come back.
+*entire* training run — per-epoch pixel permutation, feature staging/gather,
+forward, backward, Adam, StepLR, periodic full-image MSE eval, best-params
+tracking — is one jitted program: ``lax.scan`` over epochs, ``lax.scan``
+over steps, ``lax.cond`` for the eval cadence.  Zero host round trips until
+the final weights come back.
+
+Two batch-construction modes (see features/engine.py):
+- **staged** (default): integer taps materialized once, each step is one
+  vectorized row gather — the TPU-fast path,
+- **gather**: scalar-gather fallback for tiles whose tap matrix would not
+  fit in the staging budget.
 
 Faithful semantics (for RD parity with the reference at matched settings):
 - per-epoch shuffle = fresh random permutation of all H*W pixels; the last
@@ -24,7 +30,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +37,12 @@ import optax
 
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
+    _coord_features,
+    build_tap_matrix,
     gather_features,
     gather_labels,
     row_block_features,
+    staged_features,
 )
 from lbdrn_msic_tpu.models.siren import (
     SirenParams,
@@ -65,49 +73,58 @@ def make_lr_schedule(tspec: TrainSpec, steps_per_epoch: int):
     return schedule
 
 
-def _masked_mse(pred, y, mask):
-    se = (pred - y) ** 2 * mask[:, None]
-    return se.sum() / (mask.sum() * y.shape[-1])
-
-
 def dataset_mse(
     params: SirenParams,
     plane: jnp.ndarray,
-    lsb: jnp.ndarray,
+    plane_scale: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_scale: jnp.ndarray,
     fspec: FeatureSpec,
     mspec: ModelSpec,
     H: int,
     W: int,
     block_rows: int,
     padded_in: int,
+    axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> jnp.ndarray:
-    """Full-image MSE via the slice path (one scan over row blocks)."""
-    C = lsb.shape[0]
+    """Full-image MSE via the slice path (one scan over row blocks).
+
+    Under data parallelism (`axis_name` set, called inside shard_map) the
+    row blocks are round-robined over the axis and the SSE is psum-reduced.
+    """
+    C = labels.shape[-1]
     R = block_rows
     n_blocks = -(-H // R)
+    me = jax.lax.axis_index(axis_name) if axis_name else 0
+    n_outer = -(-n_blocks // axis_size)
 
-    def body(acc, b):
-        r0 = jnp.minimum(b * R, H - R)
-        x = row_block_features(plane, r0, fspec, H, W, R)
+    def body(acc, i):
+        b = i * axis_size + me
+        b_safe = jnp.minimum(b, n_blocks - 1)
+        r0 = jnp.minimum(b_safe * R, H - R)
+        x = row_block_features(plane, plane_scale, r0, fspec, H, W, R)
         pred = forward(params, pad_features(x, padded_in), mspec)
         rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        valid = (rows >= b * R) & (rows < H)  # skip rows a clamped r0 re-reads
+        valid = (rows >= b_safe * R) & (rows < H)  # skip rows a clamped r0 re-reads
         mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
-        y = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, R, W))
-        y = jnp.transpose(y, (1, 2, 0)).reshape(R * W, C)
+        y = jax.lax.dynamic_slice(labels, (r0 * W, 0), (R * W, C))
+        y = y.astype(jnp.float32) * label_scale
         sse = (((pred - y) ** 2) * mask[:, None]).sum()
+        sse = jnp.where(b < n_blocks, sse, 0.0)
         return acc + sse, None
 
-    sse, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_blocks))
+    sse, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_outer))
+    if axis_name:
+        sse = jax.lax.psum(sse, axis_name)
     return sse / (H * W * C)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("fspec", "mspec", "tspec", "H", "W", "C")
-)
-def fit(
+def fit_core(
     plane: jnp.ndarray,
-    lsb: jnp.ndarray,
+    plane_scale: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_scale: jnp.ndarray,
     key: jax.Array,
     fspec: FeatureSpec,
     mspec: ModelSpec,
@@ -115,15 +132,38 @@ def fit(
     H: int,
     W: int,
     C: int,
+    staged: bool = True,
+    tap_dtype: str = "int16",
+    axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> FitResult:
-    """Overfit one network to one image tile; everything on device."""
+    """Overfit one network to one image tile; everything on device.
+
+    plane: (C, H+2D, W+2D) uint16 padded base plane; plane_scale: 1/max.
+    labels: (H*W, C) uint16 LSB matrix; label_scale: 1/(2^K-1).
+
+    With `axis_name`/`axis_size` set this body runs inside shard_map over a
+    data-parallel mesh axis: each device trains on its 1/axis_size slice of
+    every batch, loss terms and gradients are psum-reduced, so parameters
+    stay replicated (reference semantics, just sharded over ICI).
+    """
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     n = H * W
     bs = min(tspec.batch_size, n)
+    if axis_size > 1:
+        bs = max(axis_size, bs - bs % axis_size)  # keep shards equal-sized
     steps_per_epoch = -(-n // bs)
     pad_n = steps_per_epoch * bs
-    block_rows = min(H, max(1, 1 << 17 // max(W, 1)))
+    block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
+    bs_local = bs // axis_size
+    me = jax.lax.axis_index(axis_name) if axis_name else 0
+
+    taps = (
+        build_tap_matrix(plane, fspec, H, W, jnp.dtype(tap_dtype))
+        if (staged and fspec.use_colors)
+        else None
+    )
 
     key, init_key = jax.random.split(key)
     params = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)
@@ -131,19 +171,32 @@ def fit(
     opt = optax.adam(make_lr_schedule(tspec, steps_per_epoch))
     opt_state = opt.init(params)
 
+    def batch_features(idx):
+        if taps is not None:
+            return staged_features(taps, plane_scale, idx, fspec, H, W)
+        return gather_features(plane, plane_scale, idx, fspec, H, W)
+
     def train_step(carry, step_perm):
         params, opt_state = carry
-        idx = step_perm
-        mask = (idx < n).astype(jnp.float32)
+        idx = jax.lax.dynamic_slice(step_perm, (me * bs_local,), (bs_local,))
+        idx = jnp.clip(idx, 0, n - 1)
+        mask = (jax.lax.dynamic_slice(step_perm, (me * bs_local,), (bs_local,)) < n
+                ).astype(jnp.float32)
 
         def loss_fn(p):
-            x = gather_features(plane, idx, fspec, H, W)
-            x = pad_features(x, padded_in)
-            y = gather_labels(lsb, idx)
+            x = pad_features(batch_features(idx), padded_in)
+            y = gather_labels(labels, label_scale, idx)
             pred = forward(p, x, mspec)
-            return _masked_mse(pred, y, mask)
+            se = ((pred - y) ** 2 * mask[:, None]).sum()
+            cnt = mask.sum() * C
+            if axis_name:
+                se = jax.lax.psum(se, axis_name)
+                cnt = jax.lax.psum(cnt, axis_name)
+            return se / cnt
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if axis_name:
+            grads = jax.lax.psum(grads, axis_name)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
@@ -166,7 +219,9 @@ def fit(
             def run_eval(args):
                 params, best_params, best_mse, best_epoch = args
                 mse = dataset_mse(
-                    params, plane, lsb, fspec, mspec, H, W, block_rows, padded_in
+                    params, plane, plane_scale, labels, label_scale,
+                    fspec, mspec, H, W, block_rows, padded_in,
+                    axis_name, axis_size,
                 )
                 better = mse < best_mse
                 new_best = jax.tree.map(
@@ -206,4 +261,30 @@ def fit(
         best_epoch=best_epoch,
         final_params=params,
         epoch_losses=epoch_losses,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fspec", "mspec", "tspec", "H", "W", "C", "staged", "tap_dtype"),
+)
+def fit(
+    plane: jnp.ndarray,
+    plane_scale: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_scale: jnp.ndarray,
+    key: jax.Array,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    tspec: TrainSpec,
+    H: int,
+    W: int,
+    C: int,
+    staged: bool = True,
+    tap_dtype: str = "int16",
+) -> FitResult:
+    """Single-device fit (see fit_core)."""
+    return fit_core(
+        plane, plane_scale, labels, label_scale, key,
+        fspec, mspec, tspec, H, W, C, staged, tap_dtype,
     )

@@ -3,7 +3,9 @@
 The oracle reimplements the reference's documented semantics
 (reference LBDRNdataset.py:92-133): MSB/LSB split, reflect pad, max
 normalization, (2D+1)^2 sliding windows in c-major/di/dj order, optional
-center subtraction, optional coords + positional embedding.
+center subtraction, optional coords + positional embedding.  The engine
+works in integer tap space (`(tap-center) * (1/max)` instead of
+`tap/max - center/max`), so float comparisons allow final-ULP drift.
 """
 
 import jax.numpy as jnp
@@ -46,12 +48,19 @@ def oracle_features_labels(img: np.ndarray, K: int, spec: FeatureSpec):
     return feats.astype(np.float32), labels
 
 
+def _prep(img, K, D):
+    msb, lsb = engine.split_msb_lsb(jnp.asarray(img), K)
+    plane, scale = engine.pad_plane(msb, D)
+    labels = engine.build_label_matrix(lsb)
+    return plane, scale, labels
+
+
 @pytest.mark.parametrize("K", [1, 5, 8])
 def test_msb_lsb_split(small_scene, K):
     msb, lsb = engine.split_msb_lsb(jnp.asarray(small_scene), K)
     np.testing.assert_array_equal(np.asarray(msb), small_scene >> K)
-    want = (small_scene - ((small_scene >> K) << K)).astype(np.float32) / (2**K - 1)
-    np.testing.assert_allclose(np.asarray(lsb), want, rtol=1e-6)
+    want = small_scene - ((small_scene >> K) << K)
+    np.testing.assert_array_equal(np.asarray(lsb), want)
 
 
 @pytest.mark.parametrize(
@@ -71,19 +80,19 @@ def test_gather_path_matches_oracle(small_scene, spec):
     K = 5
     want, want_labels = oracle_features_labels(small_scene, K, spec)
     C, H, W = small_scene.shape
-    msb, lsb = engine.split_msb_lsb(jnp.asarray(small_scene), K)
-    plane = engine.pad_plane(msb, spec.D)
+    plane, scale, labels = _prep(small_scene, K, spec.D)
 
     rng = np.random.default_rng(0)
     idx = rng.permutation(H * W)[:500].astype(np.int32)
-    got = np.asarray(engine.gather_features(plane, jnp.asarray(idx), spec, H, W))
-    # the reference evaluates the positional embedding's sin/cos in float64
-    # (numpy upcasting); the device path is float32 — tolerate that drift
+    got = np.asarray(engine.gather_features(plane, scale, jnp.asarray(idx), spec, H, W))
+    # integer-tap arithmetic + f64 oracle embedding: allow small float drift
     atol = 5e-5 if spec.embedding else 1e-6
     np.testing.assert_allclose(got, want[idx], rtol=1e-5, atol=atol)
 
-    got_labels = np.asarray(engine.gather_labels(lsb, jnp.asarray(idx)))
-    np.testing.assert_allclose(got_labels, want_labels[idx], rtol=1e-6)
+    got_labels = np.asarray(
+        engine.gather_labels(labels, jnp.float32(engine.lsb_scale(K)), jnp.asarray(idx))
+    )
+    np.testing.assert_allclose(got_labels, want_labels[idx], rtol=1e-5, atol=1e-7)
 
 
 @pytest.mark.parametrize(
@@ -95,12 +104,11 @@ def test_slice_path_matches_oracle(small_scene, spec):
     K = 3
     want, _ = oracle_features_labels(small_scene, K, spec)
     C, H, W = small_scene.shape
-    msb, _ = engine.split_msb_lsb(jnp.asarray(small_scene), K)
-    plane = engine.pad_plane(msb, spec.D)
+    plane, scale, _ = _prep(small_scene, K, spec.D)
     R = 17
     for r0 in [0, 17, H - R]:
         got = np.asarray(
-            engine.row_block_features(plane, jnp.int32(r0), spec, H, W, R)
+            engine.row_block_features(plane, scale, jnp.int32(r0), spec, H, W, R)
         )
         atol = 5e-5 if spec.embedding else 1e-6
         np.testing.assert_allclose(
@@ -108,19 +116,38 @@ def test_slice_path_matches_oracle(small_scene, spec):
         )
 
 
-def test_slice_and_gather_paths_agree_exactly(small_scene):
-    """The two construction paths must be bit-identical (training vs eval)."""
+@pytest.mark.parametrize("dtype", ["int8", "int16"])
+def test_staged_path_bitexact_vs_slice_and_gather(small_scene, dtype):
+    """All three construction paths must produce bit-identical float32."""
     spec = FeatureSpec()
     K = 5
     C, H, W = small_scene.shape
-    msb, _ = engine.split_msb_lsb(jnp.asarray(small_scene), K)
-    plane = engine.pad_plane(msb, spec.D)
+    plane, scale, _ = _prep(small_scene, K, spec.D)
+    taps = engine.build_tap_matrix(plane, spec, H, W, jnp.dtype(dtype))
+    assert taps.shape == (H * W, C * 25)
+
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.permutation(H * W)[:700].astype(np.int32))
+    staged = np.asarray(engine.staged_features(taps, scale, idx, spec, H, W))
+    gathered = np.asarray(engine.gather_features(plane, scale, idx, spec, H, W))
+    np.testing.assert_array_equal(staged, gathered)
+
     R = 8
-    r0 = 11
-    sliced = np.asarray(engine.row_block_features(plane, jnp.int32(r0), spec, H, W, R))
-    idx = np.arange(r0 * W, (r0 + R) * W, dtype=np.int32)
-    gathered = np.asarray(engine.gather_features(plane, jnp.asarray(idx), spec, H, W))
-    np.testing.assert_array_equal(sliced, gathered)
+    r0 = 5
+    sliced = np.asarray(
+        engine.row_block_features(plane, scale, jnp.int32(r0), spec, H, W, R)
+    )
+    contiguous = jnp.arange(r0 * W, (r0 + R) * W, dtype=jnp.int32)
+    staged2 = np.asarray(engine.staged_features(taps, scale, contiguous, spec, H, W))
+    np.testing.assert_array_equal(sliced, staged2)
+
+
+def test_tap_matrix_dtype_selection():
+    assert engine.tap_matrix_dtype(127, True) == jnp.int8
+    assert engine.tap_matrix_dtype(128, True) == jnp.int16
+    assert engine.tap_matrix_dtype(40000, True) == jnp.int32
+    assert engine.tap_matrix_dtype(255, False) == jnp.uint8
+    assert engine.tap_matrix_dtype(256, False) == jnp.uint16
 
 
 def test_feature_dims():

@@ -1,0 +1,110 @@
+"""Sharded-execution tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
+from lbdrn_msic_tpu.features.engine import (
+    build_label_matrix,
+    lsb_scale,
+    pad_plane,
+    split_msb_lsb,
+)
+from lbdrn_msic_tpu.parallel.shard import fit_dp, fit_experts, make_mesh
+from lbdrn_msic_tpu.train.loop import fit
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+FSPEC = FeatureSpec()
+MSPEC = ModelSpec(base_channel=32, num_layers=1)
+TSPEC = TrainSpec(epochs=2, batch_size=1024)
+
+
+def _prep(seed=0, K=5, hw=(48, 40), c=2):
+    img = synth_scene(*hw, channels=c, seed=seed)
+    msb, lsb = split_msb_lsb(jnp.asarray(img), K)
+    plane, scale = pad_plane(msb, FSPEC.D)
+    labels = build_label_matrix(lsb)
+    return plane, scale, labels, jnp.float32(lsb_scale(K)), hw[0], hw[1], c
+
+
+def test_mesh_shapes():
+    m = make_mesh(dp=4, ep=2)
+    assert m.shape == {"ep": 2, "dp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(dp=16, ep=1)
+
+
+def test_fit_dp_matches_single_device_loss():
+    """DP with psum-reduced grads must track the single-device loop closely
+    (identical batches, same permutations; only reduction order differs)."""
+    plane, scale, labels, lscale, H, W, C = _prep()
+    key = jax.random.PRNGKey(0)
+    single = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C)
+    mesh = make_mesh(dp=4, ep=1)
+    sharded = fit_dp(
+        mesh, plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.epoch_losses),
+        np.asarray(single.epoch_losses),
+        rtol=2e-4,
+    )
+    assert float(sharded.best_mse) < 0.2
+    for a, b in zip(sharded.params.weights, single.params.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_fit_experts_shards_independent_jobs():
+    """Expert fan-out: per-K networks trained in one sharded program match
+    individually-trained ones."""
+    K_values = [3, 5]
+    img = synth_scene(48, 40, channels=2, seed=1)
+    planes, scales, labels, lscales = [], [], [], []
+    for K in K_values:
+        msb, lsb = split_msb_lsb(jnp.asarray(img), K)
+        p, s = pad_plane(msb, FSPEC.D)
+        planes.append(p)
+        scales.append(s)
+        labels.append(build_label_matrix(lsb))
+        lscales.append(jnp.float32(lsb_scale(K)))
+    planes = jnp.stack(planes)
+    scales = jnp.stack(scales)
+    labels = jnp.stack(labels)
+    lscales = jnp.stack(lscales)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(K_values))
+
+    mesh = make_mesh(dp=1, ep=2)
+    res = fit_experts(
+        mesh, planes, scales, labels, lscales, keys,
+        FSPEC, MSPEC, TSPEC, 48, 40, 2,
+    )
+    assert res.epoch_losses.shape == (2, TSPEC.epochs)
+
+    for e, K in enumerate(K_values):
+        solo = fit(
+            planes[e], scales[e], labels[e], lscales[e], keys[e],
+            FSPEC, MSPEC, TSPEC, 48, 40, 2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.epoch_losses[e]),
+            np.asarray(solo.epoch_losses),
+            rtol=2e-4,
+        )
+
+
+def test_staged_and_gather_modes_agree():
+    """The staged row-gather path and the scalar-gather fallback must produce
+    identical training trajectories (identical batches, identical features)."""
+    plane, scale, labels, lscale, H, W, C = _prep(seed=7)
+    key = jax.random.PRNGKey(3)
+    a = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C,
+            staged=True, tap_dtype="int16")
+    b = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C,
+            staged=False)
+    np.testing.assert_allclose(
+        np.asarray(a.epoch_losses), np.asarray(b.epoch_losses), rtol=1e-5
+    )
+    for wa, wb in zip(a.params.weights, b.params.weights):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
