@@ -99,10 +99,13 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
         fspec, cfg.model, cfg.train, H, W, C,
         staged=staged, tap_dtype=jnp.dtype(dtype).name,
     )
-    flat = flatten_params(result.params, fspec.feature_dim(C))
+
+    def flat_fn():
+        return flatten_params(result.params, fspec.feature_dim(C))
+
     # reference stores MSB as uint8 when it fits (LBDRNdataset.py:100)
     msb_np = msb_np.astype(np.uint8) if max_msb <= 255 else msb_np.astype(np.uint16)
-    return flat, msb_np, result
+    return flat_fn, msb_np, result
 
 
 def encode_image(
@@ -111,7 +114,15 @@ def encode_image(
     key: Optional[jax.Array] = None,
     header_version: int = 1,
 ) -> tuple[bytes, EncodeStats]:
-    """img: (C, H, W) uint16 -> (bitstream, stats)."""
+    """img: (C, H, W) uint16 -> (bitstream, stats).
+
+    Host/device pipelining: device training is dispatched asynchronously and
+    the host-side base-layer codec runs in a worker thread while the TPU
+    trains — the reference runs these strictly serially
+    (reference encode.py:118-155; SURVEY §2.3 "pipeline parallel" row).
+    """
+    import concurrent.futures
+
     if img.ndim == 2:
         img = img[None]
     C, H, W = img.shape
@@ -119,26 +130,30 @@ def encode_image(
         key = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
     nn_streams, base_streams, tiles_stats = [], [], []
-    for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
-        tkey = jax.random.fold_in(key, tile_idx)
-        t1 = time.time()
-        flat, msb_np, result = _train_tile(tile, cfg, tkey)
-        t2 = time.time()
-        nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
-        base = encode_base(msb_np, cfg.base_codec)
-        t3 = time.time()
-        nn_streams.append(nn)
-        base_streams.append(base)
-        tiles_stats.append(
-            TileStats(
-                nn_bytes=len(nn),
-                base_bytes=len(base),
-                best_mse=float(result.best_mse),
-                best_epoch=int(result.best_epoch),
-                train_time=t2 - t1,
-                base_time=t3 - t2,
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
+            tkey = jax.random.fold_in(key, tile_idx)
+            t1 = time.time()
+            # dispatches device training; returns before the TPU finishes
+            flat_fn, msb_np, result = _train_tile(tile, cfg, tkey)
+            base_future = pool.submit(encode_base, msb_np, cfg.base_codec)
+            flat = flat_fn()  # blocks on the device result
+            t2 = time.time()
+            nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+            base = base_future.result()
+            t3 = time.time()
+            nn_streams.append(nn)
+            base_streams.append(base)
+            tiles_stats.append(
+                TileStats(
+                    nn_bytes=len(nn),
+                    base_bytes=len(base),
+                    best_mse=float(result.best_mse),
+                    best_epoch=int(result.best_epoch),
+                    train_time=t2 - t1,
+                    base_time=max(0.0, t3 - t2),
+                )
             )
-        )
     header = header_from_config(
         cfg, W, H,
         [len(s) for s in nn_streams],
@@ -166,7 +181,9 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
     ptr = header_size(data)
     fspec = header.feature_spec()
     mspec = header.model_spec()
-    tiles = []
+    # dispatch every tile's device reconstruction before fetching any result:
+    # host-side JP2/weight decoding of tile t+1 overlaps the TPU replaying t
+    pending = []
     for t in range(header.n_tiles):
         nn = data[ptr : ptr + header.nn_bytes[t]]
         ptr += header.nn_bytes[t]
@@ -176,9 +193,9 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
         C, th, tw = base.shape
         flat = decompress_weights(nn, header.weight_codec)
         params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
-        rec = reconstruct(
-            jnp.asarray(base), params, fspec, mspec, header.K, th, tw
+        pending.append(
+            reconstruct(jnp.asarray(base), params, fspec, mspec, header.K, th, tw)
         )
-        tiles.append(np.asarray(rec))
+    tiles = [np.asarray(r) for r in pending]
     img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
     return img, DecodeStats(elapsed=time.time() - t0, header=header)
