@@ -1,0 +1,201 @@
+// LPC — lossless predictive coder for multiband uint8/uint16 planes.
+//
+// The framework-native alternative to JPEG 2000 for the MSB base layer
+// (the reference shells out to gdal_translate/OpenJPEG for this role,
+// reference encode.py:137 / decode.py:69).  JPEG-LS-style design, built for
+// 10/12-bit satellite bands:
+//
+//   - MED / LOCO-I edge-detecting predictor (a=left, b=top, c=topleft),
+//   - causal gradient context (quantized |b-c|, |c-a| -> 49 contexts),
+//   - residual zigzag coded as [bit-length via per-context adaptive
+//     bit-tree] + [low bits raw] over the shared range coder,
+//   - bands coded independently and in parallel (std::thread).
+//
+// Wire: b"LLPC" | u8 version=1 | u8 itemsize(1|2) | u8 C |
+//       u32le H | u32le W | u32le band_len x C | payloads.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include "rangecoder.h"
+
+namespace {
+
+constexpr uint8_t kMagic[4] = {'L', 'L', 'P', 'C'};
+constexpr uint8_t kVersion = 1;
+constexpr int kNbitsTree = 6;  // bit-length symbol in 0..63 (6-bit tree)
+constexpr int kNumCtx = 49;
+
+inline int GradQ(int d) {
+  int a = d < 0 ? -d : d;
+  if (a == 0) return 0;
+  if (a <= 1) return 1;
+  if (a <= 2) return 2;
+  if (a <= 4) return 3;
+  if (a <= 8) return 4;
+  if (a <= 16) return 5;
+  return 6;
+}
+
+inline int Med(int a, int b, int c) {
+  int mx = a > b ? a : b;
+  int mn = a < b ? a : b;
+  if (c >= mx) return mn;
+  if (c <= mn) return mx;
+  return a + b - c;
+}
+
+inline int BitLength(uint32_t v) {
+  int n = 0;
+  while (v) {
+    ++n;
+    v >>= 1;
+  }
+  return n;
+}
+
+std::vector<uint8_t> EncodeBand(const uint16_t* band, int h, int w) {
+  lbdrn::RangeEncoder enc;
+  std::vector<uint16_t> probs(kNumCtx * (1 << kNbitsTree), lbdrn::kProbInit);
+  for (int i = 0; i < h; ++i) {
+    const uint16_t* row = band + static_cast<size_t>(i) * w;
+    const uint16_t* up = i > 0 ? row - w : nullptr;
+    for (int j = 0; j < w; ++j) {
+      int a = j > 0 ? row[j - 1] : (up ? up[j] : 0);
+      int b = up ? up[j] : a;
+      int c = (up && j > 0) ? up[j - 1] : b;
+      int pred = Med(a, b, c);
+      int ctx = GradQ(b - c) * 7 + GradQ(c - a);
+      int e = static_cast<int>(row[j]) - pred;
+      uint32_t v = e >= 0 ? (static_cast<uint32_t>(e) << 1)
+                          : ((static_cast<uint32_t>(-e) << 1) - 1);
+      int nbits = BitLength(v);
+      enc.EncodeTree(&probs[ctx << kNbitsTree], kNbitsTree,
+                     static_cast<uint32_t>(nbits));
+      for (int s = nbits - 2; s >= 0; --s) enc.EncodeBitRaw((v >> s) & 1);
+    }
+  }
+  return enc.Finish();
+}
+
+void DecodeBand(const uint8_t* data, size_t len, uint16_t* band, int h, int w) {
+  lbdrn::RangeDecoder dec(data, len);
+  std::vector<uint16_t> probs(kNumCtx * (1 << kNbitsTree), lbdrn::kProbInit);
+  for (int i = 0; i < h; ++i) {
+    uint16_t* row = band + static_cast<size_t>(i) * w;
+    const uint16_t* up = i > 0 ? row - w : nullptr;
+    for (int j = 0; j < w; ++j) {
+      int a = j > 0 ? row[j - 1] : (up ? up[j] : 0);
+      int b = up ? up[j] : a;
+      int c = (up && j > 0) ? up[j - 1] : b;
+      int pred = Med(a, b, c);
+      int ctx = GradQ(b - c) * 7 + GradQ(c - a);
+      int nbits = static_cast<int>(
+          dec.DecodeTree(&probs[ctx << kNbitsTree], kNbitsTree));
+      uint32_t v = 0;
+      if (nbits > 0) {
+        v = 1;
+        for (int s = 0; s < nbits - 1; ++s) v = (v << 1) | dec.DecodeBitRaw();
+      }
+      int e = (v & 1) ? -static_cast<int>((v + 1) >> 1)
+                      : static_cast<int>(v >> 1);
+      row[j] = static_cast<uint16_t>(pred + e);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// input: CHW uint16 samples (uint8 sources widened by the caller).
+// itemsize records the original sample width for the decoder.
+// *out malloc'd; free with lbdrn_free. Returns 0 on success.
+int lpc_compress(const uint16_t* data, int c, int h, int w, int itemsize,
+                 uint8_t** out, uint64_t* out_len) {
+  if (c < 1 || h < 1 || w < 1 || (itemsize != 1 && itemsize != 2)) return 1;
+  std::vector<std::vector<uint8_t>> bands(c);
+  std::vector<std::thread> threads;
+  threads.reserve(c);
+  for (int ci = 0; ci < c; ++ci) {
+    threads.emplace_back([&, ci] {
+      bands[ci] = EncodeBand(data + static_cast<size_t>(ci) * h * w, h, w);
+    });
+  }
+  for (auto& t : threads) t.join();
+
+  uint64_t total = 7 + 8 + 4ull * c;
+  for (auto& b : bands) total += b.size();
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(total));
+  if (!buf) return 2;
+  std::memcpy(buf, kMagic, 4);
+  buf[4] = kVersion;
+  buf[5] = static_cast<uint8_t>(itemsize);
+  buf[6] = static_cast<uint8_t>(c);
+  uint32_t h32 = h, w32 = w;
+  std::memcpy(buf + 7, &h32, 4);
+  std::memcpy(buf + 11, &w32, 4);
+  uint64_t off = 15;
+  for (auto& b : bands) {
+    uint32_t n = static_cast<uint32_t>(b.size());
+    std::memcpy(buf + off, &n, 4);
+    off += 4;
+  }
+  for (auto& b : bands) {
+    std::memcpy(buf + off, b.data(), b.size());
+    off += b.size();
+  }
+  *out = buf;
+  *out_len = off;
+  return 0;
+}
+
+int lpc_peek(const uint8_t* data, uint64_t len, int* c, int* h, int* w,
+             int* itemsize) {
+  if (len < 15 || std::memcmp(data, kMagic, 4) != 0 || data[4] != kVersion)
+    return 1;
+  *itemsize = data[5];
+  *c = data[6];
+  uint32_t h32, w32;
+  std::memcpy(&h32, data + 7, 4);
+  std::memcpy(&w32, data + 11, 4);
+  *h = static_cast<int>(h32);
+  *w = static_cast<int>(w32);
+  return 0;
+}
+
+// out must hold c*h*w uint16.
+int lpc_decompress(const uint8_t* data, uint64_t len, uint16_t* out,
+                   uint64_t out_cap) {
+  int c, h, w, itemsize;
+  if (lpc_peek(data, len, &c, &h, &w, &itemsize) != 0) return 1;
+  uint64_t n = static_cast<uint64_t>(c) * h * w;
+  if (out_cap < n) return 2;
+  std::vector<uint32_t> sizes(c);
+  uint64_t off = 15;
+  for (int ci = 0; ci < c; ++ci) {
+    std::memcpy(&sizes[ci], data + off, 4);
+    off += 4;
+  }
+  std::vector<uint64_t> starts(c);
+  for (int ci = 0; ci < c; ++ci) {
+    starts[ci] = off;
+    off += sizes[ci];
+  }
+  if (off > len) return 3;
+  std::vector<std::thread> threads;
+  threads.reserve(c);
+  for (int ci = 0; ci < c; ++ci) {
+    threads.emplace_back([&, ci] {
+      DecodeBand(data + starts[ci], sizes[ci],
+                 out + static_cast<size_t>(ci) * h * w, h, w);
+    });
+  }
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
+}  // extern "C"

@@ -26,6 +26,7 @@ import struct
 
 import numpy as np
 
+from lbdrn_msic_tpu.codecs import _native
 from lbdrn_msic_tpu.codecs.rangecoder import (
     RangeDecoder,
     RangeEncoder,
@@ -72,6 +73,25 @@ def compress(values: np.ndarray, precision: int = 16) -> bytes:
     if not (4 <= precision <= 32):
         raise ValueError(f"precision must be in 4..32, got {precision}")
     flat = np.ascontiguousarray(values, dtype=np.float32).reshape(-1)
+    native = _native.load()
+    if native is not None:
+        import ctypes
+
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        out_len = ctypes.c_uint64()
+        rc = native.lfpz_compress(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            flat.size, precision, ctypes.byref(out), ctypes.byref(out_len),
+        )
+        if rc == 0:
+            try:
+                return ctypes.string_at(out, out_len.value)
+            finally:
+                native.lbdrn_free(out)
+    return _compress_py(flat, precision)
+
+
+def _compress_py(flat: np.ndarray, precision: int) -> bytes:
     codes = _to_code(flat)
     if precision < 32:
         codes >>= 32 - precision
@@ -108,6 +128,25 @@ def decompress(data: bytes) -> np.ndarray:
     version, precision, count = struct.unpack_from("<BBI", data, 4)
     if version != VERSION:
         raise ValueError(f"unsupported LFPZ version {version}")
+    native = _native.load()
+    if native is not None:
+        import ctypes
+
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(count, np.float32)
+        rc = native.lfpz_decompress(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.size,
+        )
+        if rc == 0:
+            return out
+    return _decompress_py(data)
+
+
+def _decompress_py(data: bytes) -> np.ndarray:
+    version, precision, count = struct.unpack_from("<BBI", data, 4)
     chunks = _chunk_bits(precision)
     first_bits = chunks[0]
     shifts = []
