@@ -6,9 +6,12 @@
 // 10/12-bit satellite bands:
 //
 //   - MED / LOCO-I edge-detecting predictor (a=left, b=top, c=topleft),
+//   - per-context adaptive bias correction (running error mean, LOCO-I
+//     style with periodic halving),
 //   - causal gradient context (quantized |b-c|, |c-a| -> 49 contexts),
 //   - residual zigzag coded as [bit-length via per-context adaptive
-//     bit-tree] + [low bits raw] over the shared range coder,
+//     bit-tree] + [2 adaptively-coded high bits] + [low bits raw] over the
+//     shared range coder,
 //   - bands coded independently and in parallel (std::thread).
 //
 // Wire: b"LLPC" | u8 version=1 | u8 itemsize(1|2) | u8 C |
@@ -57,9 +60,35 @@ inline int BitLength(uint32_t v) {
   return n;
 }
 
+// Per-context bias tracker (LOCO-I style running error mean with halving).
+struct Bias {
+  int32_t sum = 0;
+  int32_t cnt = 1;
+  int Correction() const {
+    // round-to-nearest of sum/cnt, stable for negative sums
+    return sum >= 0 ? (sum + cnt / 2) / cnt : -((-sum + cnt / 2) / cnt);
+  }
+  void Update(int e) {
+    sum += e;
+    if (++cnt >= 64) {
+      cnt >>= 1;
+      sum >>= 1;  // arithmetic shift keeps sign
+    }
+  }
+};
+
+struct Models {
+  std::vector<uint16_t> nbits_probs;
+  std::vector<uint16_t> hi_probs;  // 2 post-MSB bits, per (ctx, nbits) tree
+  Bias bias[kNumCtx];
+  Models()
+      : nbits_probs(kNumCtx * (1 << kNbitsTree), lbdrn::kProbInit),
+        hi_probs(kNumCtx * 18 * 4, lbdrn::kProbInit) {}
+};
+
 std::vector<uint8_t> EncodeBand(const uint16_t* band, int h, int w) {
   lbdrn::RangeEncoder enc;
-  std::vector<uint16_t> probs(kNumCtx * (1 << kNbitsTree), lbdrn::kProbInit);
+  Models m;
   for (int i = 0; i < h; ++i) {
     const uint16_t* row = band + static_cast<size_t>(i) * w;
     const uint16_t* up = i > 0 ? row - w : nullptr;
@@ -67,15 +96,26 @@ std::vector<uint8_t> EncodeBand(const uint16_t* band, int h, int w) {
       int a = j > 0 ? row[j - 1] : (up ? up[j] : 0);
       int b = up ? up[j] : a;
       int c = (up && j > 0) ? up[j - 1] : b;
-      int pred = Med(a, b, c);
       int ctx = GradQ(b - c) * 7 + GradQ(c - a);
+      int pred = Med(a, b, c) + m.bias[ctx].Correction();
+      pred = pred < 0 ? 0 : (pred > 65535 ? 65535 : pred);
       int e = static_cast<int>(row[j]) - pred;
+      m.bias[ctx].Update(e);
       uint32_t v = e >= 0 ? (static_cast<uint32_t>(e) << 1)
                           : ((static_cast<uint32_t>(-e) << 1) - 1);
       int nbits = BitLength(v);
-      enc.EncodeTree(&probs[ctx << kNbitsTree], kNbitsTree,
+      enc.EncodeTree(&m.nbits_probs[ctx << kNbitsTree], kNbitsTree,
                      static_cast<uint32_t>(nbits));
-      for (int s = nbits - 2; s >= 0; --s) enc.EncodeBitRaw((v >> s) & 1);
+      int s = nbits - 2;
+      if (s >= 1) {  // two bits below the implied MSB, coded adaptively
+        uint32_t hi = (v >> (s - 1)) & 3;
+        enc.EncodeTree(&m.hi_probs[(ctx * 18 + nbits) * 4], 2, hi);
+        s -= 2;
+      } else if (s == 0) {
+        enc.EncodeBit(&m.hi_probs[(ctx * 18 + nbits) * 4 + 1], (v >> s) & 1);
+        s -= 1;
+      }
+      for (; s >= 0; --s) enc.EncodeBitRaw((v >> s) & 1);
     }
   }
   return enc.Finish();
@@ -83,7 +123,7 @@ std::vector<uint8_t> EncodeBand(const uint16_t* band, int h, int w) {
 
 void DecodeBand(const uint8_t* data, size_t len, uint16_t* band, int h, int w) {
   lbdrn::RangeDecoder dec(data, len);
-  std::vector<uint16_t> probs(kNumCtx * (1 << kNbitsTree), lbdrn::kProbInit);
+  Models m;
   for (int i = 0; i < h; ++i) {
     uint16_t* row = band + static_cast<size_t>(i) * w;
     const uint16_t* up = i > 0 ? row - w : nullptr;
@@ -91,18 +131,31 @@ void DecodeBand(const uint8_t* data, size_t len, uint16_t* band, int h, int w) {
       int a = j > 0 ? row[j - 1] : (up ? up[j] : 0);
       int b = up ? up[j] : a;
       int c = (up && j > 0) ? up[j - 1] : b;
-      int pred = Med(a, b, c);
       int ctx = GradQ(b - c) * 7 + GradQ(c - a);
+      int pred = Med(a, b, c) + m.bias[ctx].Correction();
+      pred = pred < 0 ? 0 : (pred > 65535 ? 65535 : pred);
       int nbits = static_cast<int>(
-          dec.DecodeTree(&probs[ctx << kNbitsTree], kNbitsTree));
+          dec.DecodeTree(&m.nbits_probs[ctx << kNbitsTree], kNbitsTree));
       uint32_t v = 0;
       if (nbits > 0) {
         v = 1;
-        for (int s = 0; s < nbits - 1; ++s) v = (v << 1) | dec.DecodeBitRaw();
+        int s = nbits - 2;
+        if (s >= 1) {
+          uint32_t hi = dec.DecodeTree(&m.hi_probs[(ctx * 18 + nbits) * 4], 2);
+          v = (v << 2) | hi;
+          s -= 2;
+        } else if (s == 0) {
+          v = (v << 1) |
+              dec.DecodeBit(&m.hi_probs[(ctx * 18 + nbits) * 4 + 1]);
+          s -= 1;
+        }
+        for (; s >= 0; --s) v = (v << 1) | dec.DecodeBitRaw();
       }
       int e = (v & 1) ? -static_cast<int>((v + 1) >> 1)
                       : static_cast<int>(v >> 1);
-      row[j] = static_cast<uint16_t>(pred + e);
+      int x = pred + e;
+      m.bias[ctx].Update(e);
+      row[j] = static_cast<uint16_t>(x);
     }
   }
 }
