@@ -1,0 +1,68 @@
+"""Sweep CLI — the reference's run.sh (images x K rate points) as a command.
+
+Reference run.sh:29-40 loops `python encode.py ...; python decode.py ...`
+over 13 images x K=1..6 (or 1..11) as separate shell processes; resumability
+comes from the per-run log markers.  Same structure here, in-process (every
+(image, K) reuses the jit cache instead of paying a fresh process + compile),
+with the same resume markers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from lbdrn_msic_tpu.cli import decode as decode_cli
+from lbdrn_msic_tpu.cli import encode as encode_cli
+from lbdrn_msic_tpu.cli.common import add_codec_args
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="LBDRN-MSIC-TPU RD sweep")
+    p.add_argument("-i", "--paths", nargs="+", required=True,
+                   help="input tif files")
+    p.add_argument("-o", "--output_dir", type=str, default="outputs")
+    p.add_argument("--k-min", type=int, default=1)
+    p.add_argument("--k-max", type=int, default=11)
+    add_codec_args(p, encode=True)
+    args = p.parse_args(argv)
+
+    base_flags = []
+    for flag, val in [
+        ("-sr", args.split_ratio), ("-bc", args.base_channel),
+        ("-nl", args.num_layers), ("-D", args.D), ("-prec", args.precision),
+        ("-lr", args.lr), ("-bs", args.batch_size), ("-e", args.epochs),
+        ("-vd", args.val_duration), ("--seed", args.seed),
+        ("--sigma", args.sigma), ("--n-freq", args.n_freq),
+        ("--base-codec", args.base_codec), ("--weight-codec", args.weight_codec),
+        ("--header-version", args.header_version),
+    ]:
+        base_flags += [flag, str(val)]
+    for flag, on in [
+        ("--use-coords", args.use_coords), ("--embedding", args.embedding),
+        ("--no-colors", args.no_colors), ("--abs-colors", args.abs_colors),
+        ("-rn", args.randomness),
+    ]:
+        if on:
+            base_flags.append(flag)
+
+    from lbdrn_msic_tpu.cli.common import config_from_args
+
+    for path in args.paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for K in range(args.k_min, args.k_max + 1):
+            enc_args = ["-i", path, "-o", args.output_dir, "-K", str(K)] + base_flags
+            print(f"[sweep] encode {stem} K={K}")
+            encode_cli.main(enc_args)
+            cfg = dataclasses.replace(config_from_args(args), K=K)
+            run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
+            bin_path = os.path.join(run_dir, f"{stem}.bin")
+            print(f"[sweep] decode {stem} K={K}")
+            decode_cli.main(["-i", bin_path, "-org", path])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

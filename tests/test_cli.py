@@ -1,0 +1,67 @@
+"""CLI round-trip tests (encode -> decode -> sweep -> summarize)."""
+
+import csv
+import os
+
+import numpy as np
+
+from lbdrn_msic_tpu.cli import decode as decode_cli
+from lbdrn_msic_tpu.cli import encode as encode_cli
+from lbdrn_msic_tpu.cli import summarize as summarize_cli
+from lbdrn_msic_tpu.cli import sweep as sweep_cli
+from lbdrn_msic_tpu.io.tiff import read_tiff, write_tiff
+from lbdrn_msic_tpu.utils.logging import scrape_log
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+FAST = ["-e", "2", "-bs", "2048"]
+
+
+def test_encode_decode_cli(tmp_path):
+    img = synth_scene(64, 64, channels=2, seed=21)
+    tif = str(tmp_path / "scene.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "out")
+
+    assert encode_cli.main(["-i", tif, "-o", out, "-K", "5"] + FAST) == 0
+    run_dir = os.path.join(
+        out, "scene_r1_K5_bc64_nl2_D2_prec16_lr0.001_bs2048_e2"
+    )
+    bin_path = os.path.join(run_dir, "scene.bin")
+    assert os.path.exists(bin_path)
+    enc_log = scrape_log(os.path.join(run_dir, "encode.txt"))
+    assert "time" in enc_log and "bpsp" in enc_log
+
+    # idempotency marker: second run must skip
+    assert encode_cli.main(["-i", tif, "-o", out, "-K", "5"] + FAST) == 0
+
+    assert decode_cli.main(["-i", bin_path, "-org", tif, "--keep-recon"]) == 0
+    dec_log = scrape_log(os.path.join(run_dir, "decode.txt"))
+    assert dec_log["psnr"] > 40
+    assert dec_log["bytes"] == os.path.getsize(bin_path)
+
+    rec = read_tiff(os.path.join(run_dir, "scene_recon.tif"))
+    np.testing.assert_array_equal(rec >> 5, img >> 5)
+
+
+def test_sweep_and_summarize_cli(tmp_path):
+    img = synth_scene(48, 48, channels=2, seed=22)
+    tif = str(tmp_path / "tiny.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "out")
+
+    assert sweep_cli.main(
+        ["-i", tif, "-o", out, "--k-min", "4", "--k-max", "5"] + FAST
+    ) == 0
+    assert summarize_cli.main(
+        ["-i", "tiny", "-o", out, "--k-min", "4", "--k-max", "5"] + FAST
+    ) == 0
+
+    csv_path = os.path.join(out, "results_r1_bc64_nl2_D2_prec16_lr0.001_bs2048_e2.csv")
+    with open(csv_path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["K", "tiny_MSE", "tiny_PSNR", "tiny_bpsp", "tiny_bits"]
+    assert [r[0] for r in rows[1:]] == ["K4", "K5"]
+    k4 = [float(x) for x in rows[1][1:]]
+    k5 = [float(x) for x in rows[2][1:]]
+    assert k4[1] > k5[1]  # lower K -> higher PSNR
+    assert k4[2] > k5[2]  # lower K -> more bits
