@@ -41,10 +41,17 @@ def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test, piecewise=False) -> 
     lo = max(pa.min(), pt.min())
     hi = min(pa.max(), pt.max())
     if piecewise:
+        # sampled-trapezoid pchip integral, as the reference does
+        # (BD_metrics.py:58-65, after webm's visual_metrics.py)
+        samples, interval = np.linspace(lo, hi, num=100, retstep=True)
         ia = np.argsort(pa)
         it = np.argsort(pt)
-        va = scipy.interpolate.PchipInterpolator(pa[ia], lr_a[ia]).integrate(lo, hi)
-        vt = scipy.interpolate.PchipInterpolator(pt[it], lr_t[it]).integrate(lo, hi)
+        va = np.trapezoid(
+            scipy.interpolate.pchip_interpolate(pa[ia], lr_a[ia], samples), dx=interval
+        )
+        vt = np.trapezoid(
+            scipy.interpolate.pchip_interpolate(pt[it], lr_t[it], samples), dx=interval
+        )
     else:
         ca = np.polyfit(pa, lr_a, 3)
         ct = np.polyfit(pt, lr_t, 3)
@@ -64,10 +71,15 @@ def bd_psnr(rate_anchor, psnr_anchor, rate_test, psnr_test, piecewise=False) -> 
     lo = max(lr_a.min(), lr_t.min())
     hi = min(lr_a.max(), lr_t.max())
     if piecewise:
+        samples, interval = np.linspace(lo, hi, num=100, retstep=True)
         ia = np.argsort(lr_a)
         it = np.argsort(lr_t)
-        va = scipy.interpolate.PchipInterpolator(lr_a[ia], pa[ia]).integrate(lo, hi)
-        vt = scipy.interpolate.PchipInterpolator(lr_t[it], pt[it]).integrate(lo, hi)
+        va = np.trapezoid(
+            scipy.interpolate.pchip_interpolate(lr_a[ia], pa[ia], samples), dx=interval
+        )
+        vt = np.trapezoid(
+            scipy.interpolate.pchip_interpolate(lr_t[it], pt[it], samples), dx=interval
+        )
     else:
         ca = np.polyfit(lr_a, pa, 3)
         ct = np.polyfit(lr_t, pt, 3)
