@@ -102,6 +102,49 @@ def bd_table_markdown(
     return "\n".join(lines)
 
 
+def ablation_table_markdown(
+    variants: Dict[str, str], anchor_csv: str, n_images: int,
+    groups: Dict[str, Sequence[int]], k_points: int = 6, last: bool = False,
+) -> str:
+    """Ablation table: BD-Rate/BD-PSNR of each config variant vs a common
+    anchor (the role of reference BD_metrics.py feature_set() /
+    network_hyperparameter() / training_hyperparameter() / split_ratio
+    reports, generalized: variants come from CSVs instead of hard-coded
+    lists)."""
+    lines = [
+        "| Variant | " + " | ".join(f"{g} BD-Rate % | {g} BD-PSNR dB" for g in groups) + " |",
+        "|" + "---|" * (1 + 2 * len(groups)),
+    ]
+    for name, csv_path in variants.items():
+        r = bd_report(anchor_csv, csv_path, n_images, k_points, groups=groups, last=last)
+        cells = []
+        for g in groups:
+            cells.append(f"{r.group_rate[g]:.3f}")
+            cells.append(f"{r.group_psnr[g]:.3f}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def error_stats_table(
+    org: np.ndarray, recons: Dict[str, np.ndarray], thresholds: Sequence[int] = (0, 1, 2, 4, 8),
+) -> str:
+    """Markdown table of |error| distribution per method (the role of the
+    reference's error_reconstruction/error_stats LaTeX emitters,
+    SOTA.py:245-321): max error and the fraction of subpixels with
+    |error| <= t for each threshold."""
+    lines = [
+        "| Method | max | " + " | ".join(f"<= {t} (%)" for t in thresholds) + " |",
+        "|" + "---|" * (2 + len(thresholds)),
+    ]
+    for name, rec in recons.items():
+        e = np.abs(rec.astype(np.int64) - org.astype(np.int64))
+        cells = [str(int(e.max()))]
+        for t in thresholds:
+            cells.append(f"{100.0 * np.mean(e <= t):.3f}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def rd_plot(
     curves: Dict[str, str], image_index: int, out_png: str,
     n_images: int, k_points: int = 6, use_bpsp: bool = True, last: bool = False,

@@ -117,3 +117,29 @@ def test_bd_piecewise_mode():
     assert cubic < 0 and pw < 0  # test curve is better
     assert abs(cubic - pw) < 5
     assert bd_psnr(r1, p1, r2, p2) > 0
+
+
+def test_error_stats_table():
+    from lbdrn_msic_tpu.eval.reports import error_stats_table
+
+    org = synth_scene(32, 32, channels=2, seed=50)
+    rec = ((org >> 2) << 2).astype(np.uint16)
+    md = error_stats_table(org, {"drop2": rec, "exact": org})
+    lines = md.splitlines()
+    assert lines[0].startswith("| Method | max |")
+    assert "| exact | 0 | 100.000" in md
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_RESULTS), reason="reference CSVs absent")
+def test_ablation_table(tmp_path):
+    from lbdrn_msic_tpu.eval.reports import ablation_table_markdown
+
+    lbdrn_csv = os.path.join(
+        REF_RESULTS, "results_r1_bc64_nl2_D2_prec16_lr0.001_bs8192_e10.csv"
+    )
+    md = ablation_table_markdown(
+        {"default": lbdrn_csv},
+        os.path.join(REF_RESULTS, "Baseline_11rps.csv"),
+        13, {"GF-2": range(0, 5)},
+    )
+    assert "-19.589" in md
