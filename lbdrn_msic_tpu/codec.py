@@ -94,10 +94,14 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
         fspec.use_colors
         and H * W * C * side * side * jnp.dtype(dtype).itemsize <= STAGE_BUDGET_BYTES
     )
+    # fused Pallas step: single-device TPU only (interpret mode on CPU would
+    # be far slower than the XLA path)
+    use_fused = jax.default_backend() != "cpu"
     result: FitResult = fit(
         plane, plane_scale, labels, label_scale, key,
         fspec, cfg.model, cfg.train, H, W, C,
         staged=staged, tap_dtype=jnp.dtype(dtype).name,
+        use_fused=use_fused,
     )
 
     def flat_fn():

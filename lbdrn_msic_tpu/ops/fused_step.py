@@ -1,0 +1,288 @@
+"""Fused SIREN training step as a single Pallas TPU kernel.
+
+One `pallas_call` performs, entirely on-chip for one batch:
+
+    forward (nl+1 MXU matmuls, sin/sigmoid on the VPU)
+    -> masked-MSE loss
+    -> hand-derived backward (transposed MXU matmuls)
+    -> Adam update with torch bias-correction semantics
+       (reference encode.py:84 uses torch.optim.Adam defaults)
+
+The batch is tiled over a 1-D grid; weight-gradient accumulators live in
+VMEM scratch across tiles and the Adam update fires on the last tile, so
+activations never round-trip to HBM and parameters are updated in place
+(`input_output_aliases`).  The XLA path (train/loop.py) remains the
+reference implementation and the only path used under data parallelism
+(gradients must cross the psum before Adam there).
+
+Layout notes: the input dim is already MXU-lane padded by models/siren.py;
+the batch tile (1024) is a multiple of the f32 sublane (8); the tiny output
+dim (C bands) rides as the minor dimension of the last matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbdrn_msic_tpu.core.config import ModelSpec
+from lbdrn_msic_tpu.models.siren import SirenParams
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+TILE = 1024
+
+
+def _sigmoid(z):
+    return 1.0 / (1.0 + jnp.exp(-z))
+
+
+def _kernel(
+    n_layers: int,
+    w0s: Tuple[float, ...],
+    *refs,
+):
+    """refs layout (see fused_train_step for construction):
+    scalars_ref,                                   # (1, 4) SMEM: lr, c1, c2, inv_scale
+    x_ref, y_ref, mask_ref,                        # batch tile
+    w_refs..., b_refs...,                          # params (VMEM)
+    mw_refs..., vw_refs..., mb_refs..., vb_refs...,# adam state
+    out: new_w..., new_b..., new_mw..., new_vw..., new_mb..., new_vb..., loss
+    scratch: acc_dw..., acc_db..., loss_acc
+    """
+    L = n_layers
+    (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
+    pos = 4
+    w_refs = refs[pos : pos + L]; pos += L
+    b_refs = refs[pos : pos + L]; pos += L
+    mw_refs = refs[pos : pos + L]; pos += L
+    vw_refs = refs[pos : pos + L]; pos += L
+    mb_refs = refs[pos : pos + L]; pos += L
+    vb_refs = refs[pos : pos + L]; pos += L
+    nw_refs = refs[pos : pos + L]; pos += L
+    nb_refs = refs[pos : pos + L]; pos += L
+    nmw_refs = refs[pos : pos + L]; pos += L
+    nvw_refs = refs[pos : pos + L]; pos += L
+    nmb_refs = refs[pos : pos + L]; pos += L
+    nvb_refs = refs[pos : pos + L]; pos += L
+    loss_ref = refs[pos]; pos += 1
+    acc_dw = refs[pos : pos + L]; pos += L
+    acc_db = refs[pos : pos + L]; pos += L
+    loss_acc = refs[pos]
+
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _zero():
+        for l in range(L):
+            acc_dw[l][...] = jnp.zeros_like(acc_dw[l])
+            acc_db[l][...] = jnp.zeros_like(acc_db[l])
+        loss_acc[...] = jnp.zeros_like(loss_acc)
+
+    x = x_ref[...]
+    y = y_ref[...]
+    mask = mask_ref[...]  # (TILE, 1)
+
+    # forward, keeping pre-activations for the backward pass
+    zs: List[jnp.ndarray] = []
+    h = x
+    for l in range(L - 1):
+        z = (
+            jnp.dot(h, w_refs[l][...], preferred_element_type=jnp.float32)
+            + b_refs[l][...]
+        )
+        zs.append(z)
+        h = jnp.sin(w0s[l] * z)
+        zs.append(h)  # store activation too (cheap VMEM reuse)
+    z_last = (
+        jnp.dot(h, w_refs[L - 1][...], preferred_element_type=jnp.float32)
+        + b_refs[L - 1][...]
+    )
+    p = _sigmoid(z_last)
+
+    # masked squared error; the 1/(count*C) scale is applied at the end
+    diff = (p - y) * mask
+    loss_acc[0, 0] += jnp.sum(diff * diff)
+
+    # backward
+    g = 2.0 * diff * (p * (1.0 - p))  # d(sum se)/dz_last
+    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
+    acc_dw[L - 1][...] += jnp.dot(
+        h_in.T, g, preferred_element_type=jnp.float32
+    )
+    acc_db[L - 1][...] += jnp.sum(g, axis=0, keepdims=True)
+    for l in range(L - 2, -1, -1):
+        g = jnp.dot(g, w_refs[l + 1][...].T, preferred_element_type=jnp.float32)
+        z = zs[2 * l]
+        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
+        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
+        acc_dw[l][...] += jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+        acc_db[l][...] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(t == n_tiles - 1)
+    def _update():
+        lr = scalars_ref[0, 0]
+        c1 = scalars_ref[0, 1]  # 1/(1-b1^t)
+        c2 = scalars_ref[0, 2]  # 1/(1-b2^t)
+        inv_scale = scalars_ref[0, 3]  # 1/(count*C)
+        for l in range(L):
+            for grad, theta, m, v, nt, nm, nv in (
+                (acc_dw[l][...] * inv_scale, w_refs[l], mw_refs[l], vw_refs[l],
+                 nw_refs[l], nmw_refs[l], nvw_refs[l]),
+                (acc_db[l][...] * inv_scale, b_refs[l], mb_refs[l], vb_refs[l],
+                 nb_refs[l], nmb_refs[l], nvb_refs[l]),
+            ):
+                m_new = ADAM_B1 * m[...] + (1.0 - ADAM_B1) * grad
+                v_new = ADAM_B2 * v[...] + (1.0 - ADAM_B2) * grad * grad
+                m_hat = m_new * c1
+                v_hat = v_new * c2
+                nt[...] = theta[...] - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+                nm[...] = m_new
+                nv[...] = v_new
+        loss_ref[0, 0] = loss_acc[0, 0] * inv_scale
+
+
+@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+def fused_train_step(
+    params: SirenParams,
+    m_state: SirenParams,
+    v_state: SirenParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr: jnp.ndarray,
+    step: jnp.ndarray,
+    mspec: ModelSpec,
+    dim_out: int,
+):
+    """One fused training step.
+
+    x: (B, padded_in) f32; y: (B, dim_out) f32; mask: (B,) f32;
+    step: 1-indexed Adam timestep.  Returns (params', m', v', loss).
+    """
+    L = mspec.num_layers + 1
+    w0s = tuple(
+        [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
+    )
+    B = x.shape[0]
+    assert B % TILE == 0, f"batch {B} must be a multiple of {TILE}"
+    n_tiles = B // TILE
+
+    tstep = step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - ADAM_B1**tstep)
+    c2 = 1.0 / (1.0 - ADAM_B2**tstep)
+    cnt = jnp.maximum(mask.sum(), 1.0)
+    inv_scale = 1.0 / (cnt * dim_out)
+    scalars = jnp.stack([lr.astype(jnp.float32), c1, c2, inv_scale]).reshape(1, 4)
+
+    mask2 = mask.reshape(B, 1)
+    ws, bs = list(params.weights), [b.reshape(1, -1) for b in params.biases]
+    mws, mbs = list(m_state.weights), [b.reshape(1, -1) for b in m_state.biases]
+    vws, vbs = list(v_state.weights), [b.reshape(1, -1) for b in v_state.biases]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda t: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    tile_spec = lambda width: pl.BlockSpec(
+        (TILE, width), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = (
+        [pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)]
+        + [tile_spec(x.shape[1]), tile_spec(y.shape[1]), tile_spec(1)]
+        + [full(a) for a in ws + bs + mws + vws + mbs + vbs]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in ws + bs + mws + vws + mbs + vbs]
+        + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    )
+    out_specs = (
+        [full(a) for a in ws + bs + mws + vws + mbs + vbs]
+        + [pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)]
+    )
+    # alias params/adam-state inputs to their outputs (in-place update)
+    aliases = {4 + i: i for i in range(6 * L)}
+
+    scratch = (
+        [pltpu.VMEM(a.shape, jnp.float32) for a in ws]
+        + [pltpu.VMEM(b.shape, jnp.float32) for b in bs]
+        + [pltpu.VMEM((1, 1), jnp.float32)]
+    )
+
+    kernel = functools.partial(_kernel, L, w0s)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+    )(scalars, x, y, mask2, *ws, *bs, *mws, *vws, *mbs, *vbs)
+
+    new_w = list(outs[0:L])
+    new_b = [b.reshape(-1) for b in outs[L : 2 * L]]
+    new_mw = list(outs[2 * L : 3 * L])
+    new_vw = list(outs[3 * L : 4 * L])
+    new_mb = [b.reshape(-1) for b in outs[4 * L : 5 * L]]
+    new_vb = [b.reshape(-1) for b in outs[5 * L : 6 * L]]
+    loss = outs[6 * L].reshape(())
+    return (
+        SirenParams(weights=new_w, biases=new_b),
+        SirenParams(weights=new_mw, biases=new_mb),
+        SirenParams(weights=new_vw, biases=new_vb),
+        loss,
+    )
+
+
+def reference_train_step(
+    params: SirenParams,
+    m_state: SirenParams,
+    v_state: SirenParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr: jnp.ndarray,
+    step: jnp.ndarray,
+    mspec: ModelSpec,
+    dim_out: int,
+):
+    """Pure-JAX oracle with identical semantics (for tests and fallbacks)."""
+    from lbdrn_msic_tpu.models.siren import forward
+
+    def loss_fn(p):
+        pred = forward(p, x, mspec)
+        se = ((pred - y) ** 2 * mask[:, None]).sum()
+        return se / (jnp.maximum(mask.sum(), 1.0) * dim_out)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    t = step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - ADAM_B1**t)
+    c2 = 1.0 / (1.0 - ADAM_B2**t)
+
+    def upd(theta, g, m, v):
+        m_new = ADAM_B1 * m + (1 - ADAM_B1) * g
+        v_new = ADAM_B2 * v + (1 - ADAM_B2) * g * g
+        theta_new = theta - lr * (m_new * c1) / (jnp.sqrt(v_new * c2) + ADAM_EPS)
+        return theta_new, m_new, v_new
+
+    new_p, new_m, new_v = [], [], []
+    for w, g, m, v in zip(params.weights, grads.weights, m_state.weights, v_state.weights):
+        a, b_, c = upd(w, g, m, v)
+        new_p.append(a); new_m.append(b_); new_v.append(c)
+    new_pb, new_mb, new_vb = [], [], []
+    for b, g, m, v in zip(params.biases, grads.biases, m_state.biases, v_state.biases):
+        a, b_, c = upd(b, g, m, v)
+        new_pb.append(a); new_mb.append(b_); new_vb.append(c)
+    return (
+        SirenParams(weights=new_p, biases=new_pb),
+        SirenParams(weights=new_m, biases=new_mb),
+        SirenParams(weights=new_v, biases=new_vb),
+        loss,
+    )

@@ -136,6 +136,7 @@ def fit_core(
     tap_dtype: str = "int16",
     axis_name: str | None = None,
     axis_size: int = 1,
+    use_fused: bool = False,
 ) -> FitResult:
     """Overfit one network to one image tile; everything on device.
 
@@ -146,6 +147,11 @@ def fit_core(
     data-parallel mesh axis: each device trains on its 1/axis_size slice of
     every batch, loss terms and gradients are psum-reduced, so parameters
     stay replicated (reference semantics, just sharded over ICI).
+
+    `use_fused` switches the step to the single-Pallas-kernel fused
+    forward/backward/Adam path (ops/fused_step.py) — single-device only
+    (DP needs the psum between grads and Adam) and requires the batch to be
+    a multiple of its tile size.
     """
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
@@ -165,11 +171,22 @@ def fit_core(
         else None
     )
 
+    if use_fused:
+        from lbdrn_msic_tpu.ops.fused_step import TILE as FUSED_TILE
+
+        if axis_name is not None or bs_local % FUSED_TILE != 0:
+            use_fused = False
+
     key, init_key = jax.random.split(key)
     params = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)
 
-    opt = optax.adam(make_lr_schedule(tspec, steps_per_epoch))
-    opt_state = opt.init(params)
+    schedule = make_lr_schedule(tspec, steps_per_epoch)
+    if use_fused:
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        opt_state = (zeros, zeros, jnp.int32(0))  # (m, v, step count)
+    else:
+        opt = optax.adam(schedule)
+        opt_state = opt.init(params)
 
     def batch_features(idx):
         if taps is not None:
@@ -179,9 +196,20 @@ def fit_core(
     def train_step(carry, step_perm):
         params, opt_state = carry
         idx = jax.lax.dynamic_slice(step_perm, (me * bs_local,), (bs_local,))
+        mask = (idx < n).astype(jnp.float32)
         idx = jnp.clip(idx, 0, n - 1)
-        mask = (jax.lax.dynamic_slice(step_perm, (me * bs_local,), (bs_local,)) < n
-                ).astype(jnp.float32)
+
+        if use_fused:
+            from lbdrn_msic_tpu.ops.fused_step import fused_train_step
+
+            m_state, v_state, count = opt_state
+            x = pad_features(batch_features(idx), padded_in)
+            y = gather_labels(labels, label_scale, idx)
+            params, m_state, v_state, loss = fused_train_step(
+                params, m_state, v_state, x, y, mask,
+                schedule(count), count + 1, mspec, C,
+            )
+            return (params, (m_state, v_state, count + 1)), loss
 
         def loss_fn(p):
             x = pad_features(batch_features(idx), padded_in)
@@ -266,7 +294,9 @@ def fit_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fspec", "mspec", "tspec", "H", "W", "C", "staged", "tap_dtype"),
+    static_argnames=(
+        "fspec", "mspec", "tspec", "H", "W", "C", "staged", "tap_dtype", "use_fused"
+    ),
 )
 def fit(
     plane: jnp.ndarray,
@@ -282,9 +312,11 @@ def fit(
     C: int,
     staged: bool = True,
     tap_dtype: str = "int16",
+    use_fused: bool = False,
 ) -> FitResult:
     """Single-device fit (see fit_core)."""
     return fit_core(
         plane, plane_scale, labels, label_scale, key,
         fspec, mspec, tspec, H, W, C, staged, tap_dtype,
+        use_fused=use_fused,
     )

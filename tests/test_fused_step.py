@@ -1,0 +1,95 @@
+"""Fused Pallas training-step kernel vs the pure-JAX oracle (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from lbdrn_msic_tpu.core.config import ModelSpec
+from lbdrn_msic_tpu.models.siren import init_params
+from lbdrn_msic_tpu.ops.fused_step import (
+    TILE,
+    fused_train_step,
+    reference_train_step,
+)
+
+
+def _setup(mspec, dim_in, dim_out, B, seed=0):
+    key = jax.random.PRNGKey(seed)
+    params = init_params(key, dim_in, dim_out, mspec)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    x = jax.random.normal(k1, (B, params.weights[0].shape[0]), jnp.float32) * 0.1
+    y = jax.nn.sigmoid(jax.random.normal(k2, (B, dim_out), jnp.float32))
+    mask = jnp.ones((B,), jnp.float32)
+    return params, zeros, x, y, mask
+
+
+@pytest.mark.parametrize(
+    "bc,nl,dim_in,dim_out",
+    [(64, 2, 100, 4), (32, 1, 36, 2), (128, 3, 100, 8)],
+)
+def test_fused_matches_reference(bc, nl, dim_in, dim_out):
+    mspec = ModelSpec(base_channel=bc, num_layers=nl)
+    B = 2 * TILE
+    params, zeros, x, y, mask = _setup(mspec, dim_in, dim_out, B)
+    lr = jnp.float32(1e-3)
+    step = jnp.int32(1)
+
+    with pltpu.force_tpu_interpret_mode():
+        fp, fm, fv, floss = fused_train_step(
+            params, zeros, zeros, x, y, mask, lr, step, mspec, dim_out
+        )
+    rp, rm, rv, rloss = reference_train_step(
+        params, zeros, zeros, x, y, mask, lr, step, mspec, dim_out
+    )
+    np.testing.assert_allclose(float(floss), float(rloss), rtol=1e-5)
+    for a, b in zip(fp.weights, rp.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+    for a, b in zip(fp.biases, rp.biases):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+    for a, b in zip(fv.weights, rv.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-10)
+
+
+def test_fused_multi_step_trajectory():
+    """Several chained steps stay numerically close to the oracle."""
+    mspec = ModelSpec(base_channel=32, num_layers=2)
+    B = TILE
+    params, zeros, x, y, mask = _setup(mspec, 36, 2, B, seed=5)
+    fp = rp = params
+    fm = fv = rm = rv = zeros
+    lr = jnp.float32(1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        for t in range(1, 4):
+            fp, fm, fv, fl = fused_train_step(
+                fp, fm, fv, x, y, mask, lr, jnp.int32(t), mspec, 2
+            )
+            rp, rm, rv, rl = reference_train_step(
+                rp, rm, rv, x, y, mask, lr, jnp.int32(t), mspec, 2
+            )
+            np.testing.assert_allclose(float(fl), float(rl), rtol=1e-4)
+    for a, b in zip(fp.weights, rp.weights):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
+def test_fused_respects_mask():
+    """Masked-out rows must not influence the update."""
+    mspec = ModelSpec(base_channel=32, num_layers=1)
+    B = TILE
+    params, zeros, x, y, mask = _setup(mspec, 36, 2, B, seed=7)
+    half = jnp.concatenate([jnp.ones(B // 2), jnp.zeros(B // 2)])
+    # corrupt masked rows wildly; result must equal clean-masked run
+    x_bad = x.at[B // 2 :].set(1e3)
+    y_bad = y.at[B // 2 :].set(-1e3)
+    with pltpu.force_tpu_interpret_mode():
+        p1, _, _, l1 = fused_train_step(
+            params, zeros, zeros, x, y, half, jnp.float32(1e-3), jnp.int32(1), mspec, 2
+        )
+        p2, _, _, l2 = fused_train_step(
+            params, zeros, zeros, x_bad, y_bad, half, jnp.float32(1e-3), jnp.int32(1), mspec, 2
+        )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(p1.weights, p2.weights):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
