@@ -109,7 +109,7 @@ def _kernel(
 
     # masked squared error; the 1/(count*C) scale is applied at the end
     diff = (p - y) * mask
-    loss_acc[0, 0] += jnp.sum(diff * diff)
+    loss_acc[...] = loss_acc[...] + jnp.sum(diff * diff).reshape(1, 1)
 
     # backward
     g = 2.0 * diff * (p * (1.0 - p))  # d(sum se)/dz_last
@@ -146,7 +146,7 @@ def _kernel(
                 nt[...] = theta[...] - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
                 nm[...] = m_new
                 nv[...] = v_new
-        loss_ref[0, 0] = loss_acc[0, 0] * inv_scale
+        loss_ref[...] = loss_acc[...] * inv_scale
 
 
 @functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
