@@ -96,6 +96,11 @@ class TrainSpec:
     # StepLR: lr *= gamma every `max(1, epochs // 3)` epochs
     # (reference encode.py:85).
     lr_gamma: float = 0.1
+    # Sampling granule: batches are built from g-pixel runs instead of
+    # single pixels.  g=1 is the reference's exact uniform pixel shuffle;
+    # g>1 trades a slightly correlated batch for g-fold fewer (g-fold
+    # larger) gather descriptors on TPU.  batch_size must divide by it.
+    sample_granule: int = 1
 
     def lr_step_size(self) -> int:
         return max(1, self.epochs // 3)

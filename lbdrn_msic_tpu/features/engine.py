@@ -199,25 +199,28 @@ def tap_matrix_dtype(max_value: int, relative: bool):
     return jnp.uint16
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "dtype"))
+@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "dtype", "pad_rows_to"))
 def build_tap_matrix(
     plane: jnp.ndarray,
     spec: FeatureSpec,
     H: int,
     W: int,
     dtype=jnp.int16,
+    pad_rows_to: int | None = None,
 ) -> jnp.ndarray:
     """Materialize all pixels' integer taps: (H*W, C*(2D+1)^2) `dtype`.
 
     Built block-by-block with the slice path (vector ops only); this is the
     staging step that turns training batches into pure row gathers.
+    `pad_rows_to` rounds the row count up (zero rows) so callers can view
+    the matrix as fixed-size granules.
     """
     C = plane.shape[0]
     side = 2 * spec.D + 1
     F = C * side * side
     R = min(H, max(1, (1 << 17) // max(W, 1)))
     n_blocks = -(-H // R)
-    out = jnp.zeros((H * W, F), dtype)
+    out = jnp.zeros((max(pad_rows_to or 0, H * W), F), dtype)
 
     def body(out, b):
         r0 = jnp.minimum(b * R, H - R)
@@ -246,10 +249,13 @@ def staged_features(
     return jnp.concatenate([coords, rows], axis=-1)
 
 
-def build_label_matrix(lsb: jnp.ndarray) -> jnp.ndarray:
+def build_label_matrix(lsb: jnp.ndarray, pad_rows_to: int | None = None) -> jnp.ndarray:
     """(C, H, W) integer LSB -> (H*W, C) uint16 row-major label matrix."""
     C = lsb.shape[0]
-    return jnp.transpose(lsb.reshape(C, -1), (1, 0)).astype(jnp.uint16)
+    out = jnp.transpose(lsb.reshape(C, -1), (1, 0)).astype(jnp.uint16)
+    if pad_rows_to is not None and pad_rows_to > out.shape[0]:
+        out = jnp.pad(out, ((0, pad_rows_to - out.shape[0]), (0, 0)))
+    return out
 
 
 def gather_labels(

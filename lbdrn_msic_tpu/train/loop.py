@@ -159,17 +159,32 @@ def fit_core(
     bs = min(tspec.batch_size, n)
     if axis_size > 1:
         bs = max(axis_size, bs - bs % axis_size)  # keep shards equal-sized
-    steps_per_epoch = -(-n // bs)
-    pad_n = steps_per_epoch * bs
-    block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
+    # sampling granule: shuffle g-pixel runs instead of single pixels
+    # (g=1 == reference semantics); see TrainSpec.sample_granule
+    g = tspec.sample_granule if (staged and fspec.use_colors) else 1
+    if g > 1 and (bs % g or bs // axis_size % g):
+        g = 1
+    n_g = -(-n // g)  # granule count
+    n_rows = n_g * g
     bs_local = bs // axis_size
+    bpg_local = bs_local // g  # granules per local batch
+    steps_per_epoch = -(-n_g // (bs // g))
+    pad_n_g = steps_per_epoch * (bs // g)
+    block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
     me = jax.lax.axis_index(axis_name) if axis_name else 0
 
     taps = (
-        build_tap_matrix(plane, fspec, H, W, jnp.dtype(tap_dtype))
+        build_tap_matrix(
+            plane, fspec, H, W, jnp.dtype(tap_dtype), pad_rows_to=n_rows
+        )
         if (staged and fspec.use_colors)
         else None
     )
+    if g > 1:
+        n_colors = fspec.num_color_features(C)
+        taps_g = taps.reshape(n_g, g * n_colors)
+        labels_pad = jnp.pad(labels, ((0, n_rows - n), (0, 0))) if n_rows > n else labels
+        labels_g = labels_pad.reshape(n_g, g * C)
 
     if use_fused:
         from lbdrn_msic_tpu.ops.fused_step import TILE as FUSED_TILE
@@ -193,18 +208,40 @@ def fit_core(
             return staged_features(taps, plane_scale, idx, fspec, H, W)
         return gather_features(plane, plane_scale, idx, fspec, H, W)
 
+    def make_batch(gidx):
+        """granule ids (bpg_local,) -> (x, y, mask) for the local batch."""
+        if g == 1:
+            mask = (gidx < n).astype(jnp.float32)
+            idx = jnp.clip(gidx, 0, n - 1)
+            x = pad_features(batch_features(idx), padded_in)
+            y = gather_labels(labels, label_scale, idx)
+            return x, y, mask
+        gvalid = gidx < n_g
+        gi = jnp.clip(gidx, 0, n_g - 1)
+        pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
+        mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+        colors = (
+            taps_g[gi].astype(jnp.float32) * plane_scale
+        ).reshape(bs_local, -1)
+        if fspec.use_coords:
+            from lbdrn_msic_tpu.features.engine import _coord_features
+
+            pix = pix2d.reshape(-1)
+            coords = _coord_features(pix // W, pix % W, H, W, fspec)
+            colors = jnp.concatenate([coords, colors], axis=-1)
+        x = pad_features(colors, padded_in)
+        y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(bs_local, C)
+        return x, y, mask
+
     def train_step(carry, step_perm):
         params, opt_state = carry
-        idx = jax.lax.dynamic_slice(step_perm, (me * bs_local,), (bs_local,))
-        mask = (idx < n).astype(jnp.float32)
-        idx = jnp.clip(idx, 0, n - 1)
+        gidx = jax.lax.dynamic_slice(step_perm, (me * bpg_local,), (bpg_local,))
 
         if use_fused:
             from lbdrn_msic_tpu.ops.fused_step import fused_train_step
 
             m_state, v_state, count = opt_state
-            x = pad_features(batch_features(idx), padded_in)
-            y = gather_labels(labels, label_scale, idx)
+            x, y, mask = make_batch(gidx)
             params, m_state, v_state, loss = fused_train_step(
                 params, m_state, v_state, x, y, mask,
                 schedule(count), count + 1, mspec, C,
@@ -212,8 +249,7 @@ def fit_core(
             return (params, (m_state, v_state, count + 1)), loss
 
         def loss_fn(p):
-            x = pad_features(batch_features(idx), padded_in)
-            y = gather_labels(labels, label_scale, idx)
+            x, y, mask = make_batch(gidx)
             pred = forward(p, x, mspec)
             se = ((pred - y) ** 2 * mask[:, None]).sum()
             cnt = mask.sum() * C
@@ -232,10 +268,10 @@ def fit_core(
     def epoch_body(carry, epoch_idx):
         params, opt_state, best_params, best_mse, best_epoch, key = carry
         key, pk = jax.random.split(key)
-        perm = jax.random.permutation(pk, n)
+        perm = jax.random.permutation(pk, n_g)
         perm = jnp.concatenate(
-            [perm, jnp.full((pad_n - n,), n, dtype=perm.dtype)]
-        ).reshape(steps_per_epoch, bs)
+            [perm, jnp.full((pad_n_g - n_g,), n_g, dtype=perm.dtype)]
+        ).reshape(steps_per_epoch, bs // g)
         (params, opt_state), losses = jax.lax.scan(
             train_step, (params, opt_state), perm
         )

@@ -108,3 +108,23 @@ def test_staged_and_gather_modes_agree():
     )
     for wa, wb in zip(a.params.weights, b.params.weights):
         np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
+
+
+def test_sample_granule_mode():
+    """Granule sampling (g>1) must train to a similar optimum as g=1 and
+    handle non-divisible pixel counts via masking."""
+    import dataclasses
+
+    img = synth_scene(50, 42, channels=2, seed=9)  # 2100 px, not / 8
+    msb, lsb = split_msb_lsb(jnp.asarray(img), 5)
+    plane, scale = pad_plane(msb, FSPEC.D)
+    labels = build_label_matrix(lsb)
+    lscale = jnp.float32(lsb_scale(5))
+    ts1 = TrainSpec(epochs=4, batch_size=1024)
+    ts8 = dataclasses.replace(ts1, sample_granule=8)
+    key = jax.random.PRNGKey(11)
+    r1 = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts1, 50, 42, 2)
+    r8 = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts8, 50, 42, 2)
+    m1, m8 = float(r1.best_mse), float(r8.best_mse)
+    assert np.isfinite(m8)
+    assert abs(m8 - m1) < 0.25 * m1, (m1, m8)
