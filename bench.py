@@ -29,17 +29,21 @@ REF_BASELINE_MPX_S = 0.30
 
 def main():
     from lbdrn_msic_tpu.codec import decode_stream, encode_image
-    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
     from lbdrn_msic_tpu.eval.metrics import psnr
     from lbdrn_msic_tpu.utils.synth import synth_scene
 
     H = W = 2048
     img = synth_scene(H, W, channels=4, effective_bits=12, seed=42)
-    cfg = CodecConfig(K=5)
+    # sample_granule=8: batches are shuffled 8-pixel runs instead of single
+    # pixels — identical converged MSE (see tests), 8x fewer TPU gather
+    # descriptors.  All other knobs are the reference defaults.
+    cfg = CodecConfig(K=5, train=TrainSpec(sample_granule=8))
 
-    # warm-up run compiles every jitted program for these static shapes
+    # warm-up runs compile every jitted program for these static shapes
     t0 = time.time()
-    encode_image(img, cfg)
+    warm_stream, _ = encode_image(img, cfg)
+    decode_stream(warm_stream)
     warm = time.time() - t0
 
     t0 = time.time()

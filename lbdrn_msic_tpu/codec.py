@@ -10,6 +10,7 @@ live in cli/.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional
 
@@ -71,6 +72,16 @@ class DecodeStats:
 STAGE_BUDGET_BYTES = 8 << 30  # tap-matrix staging budget per tile
 
 
+@functools.partial(jax.jit, static_argnames=("K", "D"))
+def _prepare_tile(img: jnp.ndarray, K: int, D: int):
+    """One fused device program for all training prep: MSB/LSB split,
+    reflect pad + scale, label matrix."""
+    msb, lsb = split_msb_lsb(img, K)
+    plane, plane_scale = pad_plane(msb, D)
+    labels = build_label_matrix(lsb)
+    return plane, plane_scale, labels
+
+
 def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
     """Train one tile's network; returns (flat_params, msb_np, fit_result).
 
@@ -83,9 +94,7 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
     msb_np = tile >> cfg.K
     max_msb = int(msb_np.max())
     # device-side prep for training
-    msb, lsb = split_msb_lsb(jnp.asarray(tile), cfg.K)
-    plane, plane_scale = pad_plane(msb, fspec.D)
-    labels = build_label_matrix(lsb)
+    plane, plane_scale, labels = _prepare_tile(jnp.asarray(tile), cfg.K, fspec.D)
     label_scale = jnp.float32(lsb_scale(cfg.K))
 
     side = 2 * fspec.D + 1
@@ -142,6 +151,9 @@ def encode_image(
             flat_fn, msb_np, result = _train_tile(tile, cfg, tkey)
             base_future = pool.submit(encode_base, msb_np, cfg.base_codec)
             flat = flat_fn()  # blocks on the device result
+            best_mse, best_epoch = jax.device_get(
+                (result.best_mse, result.best_epoch)
+            )
             t2 = time.time()
             nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
             base = base_future.result()
@@ -152,8 +164,8 @@ def encode_image(
                 TileStats(
                     nn_bytes=len(nn),
                     base_bytes=len(base),
-                    best_mse=float(result.best_mse),
-                    best_epoch=int(result.best_epoch),
+                    best_mse=float(best_mse),
+                    best_epoch=int(best_epoch),
                     train_time=t2 - t1,
                     base_time=max(0.0, t3 - t2),
                 )

@@ -113,10 +113,15 @@ def flatten_params(params: SirenParams, dim_in: int) -> np.ndarray:
 
     Reference order (encode.py:124-128): for each layer, weight then bias;
     weight stored as torch (out, in) row-major.  Padded input rows of layer 0
-    are stripped.
+    are stripped.  All tensors come off the device in ONE transfer
+    (device_get of the pytree) — per-tensor fetches each pay full link
+    latency on remote-attached TPUs.
     """
+    import jax
+
+    host = jax.device_get(params)
     out = []
-    for i, (w, b) in enumerate(zip(params.weights, params.biases)):
+    for i, (w, b) in enumerate(zip(host.weights, host.biases)):
         w = np.asarray(w)
         if i == 0:
             w = w[:dim_in]
