@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--path", type=str, required=True,
                    help="input multiband tif")
     p.add_argument("-o", "--output_dir", type=str, default="outputs")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="emit train/loss and val curves as TensorBoard scalars "
+                        "(reference encode.py:89-107 parity)")
     add_codec_args(p, encode=True)
     args = p.parse_args(argv)
 
@@ -52,7 +55,8 @@ def main(argv=None) -> int:
     if args.randomness:
         key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "big"))
     stream, stats = encode_image(img, cfg, key=key,
-                                 header_version=args.header_version)
+                                 header_version=args.header_version,
+                                 collect_curves=args.tensorboard)
     with open(bin_path, "wb") as f:
         f.write(stream)
 
@@ -64,6 +68,15 @@ def main(argv=None) -> int:
         log.event(tile=i, nn_bytes=t.nn_bytes, base_bytes=t.base_bytes,
                   best_mse=t.best_mse, best_epoch=t.best_epoch,
                   train_time=t.train_time, base_time=t.base_time)
+    if args.tensorboard:
+        from lbdrn_msic_tpu.utils.tboard import tensorboard_available, write_training_curves
+
+        if tensorboard_available():
+            for i, t in enumerate(stats.tiles):
+                if t.step_losses is not None:
+                    write_training_curves(out_dir, f"{stem}_t{i}", t.step_losses)
+        else:
+            log.info("tensorboard writer unavailable; skipping curves")
     log.info(f"Total size: {len(stream)} bytes, bpsp={len(stream) * 8 / n_sub}")
     log.info(f"Time elapsed: {time.time() - t0}")
     log.event(total_bytes=len(stream), bpsp=stats.bpsp, elapsed=stats.elapsed)

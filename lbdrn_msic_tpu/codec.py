@@ -49,6 +49,7 @@ class TileStats:
     best_epoch: int
     train_time: float
     base_time: float
+    step_losses: Optional[np.ndarray] = None  # (epochs, steps) if collected
 
 
 @dataclasses.dataclass
@@ -126,6 +127,7 @@ def encode_image(
     cfg: CodecConfig,
     key: Optional[jax.Array] = None,
     header_version: int = 1,
+    collect_curves: bool = False,
 ) -> tuple[bytes, EncodeStats]:
     """img: (C, H, W) uint16 -> (bitstream, stats).
 
@@ -168,6 +170,10 @@ def encode_image(
                     best_epoch=int(best_epoch),
                     train_time=t2 - t1,
                     base_time=max(0.0, t3 - t2),
+                    step_losses=(
+                        np.asarray(jax.device_get(result.step_losses))
+                        if collect_curves else None
+                    ),
                 )
             )
     header = header_from_config(

@@ -61,6 +61,7 @@ class FitResult:
     best_epoch: jnp.ndarray  # 1-indexed, -1 if never evaluated
     final_params: SirenParams
     epoch_losses: jnp.ndarray  # (epochs,) mean train loss per epoch
+    step_losses: jnp.ndarray  # (epochs, steps_per_epoch) per-iteration loss
 
 
 def make_lr_schedule(tspec: TrainSpec, steps_per_epoch: int):
@@ -310,12 +311,12 @@ def fit_core(
             )
         return (
             (params, opt_state, best_params, best_mse, best_epoch, key),
-            losses.mean(),
+            (losses.mean(), losses),
         )
 
     best0 = jax.tree.map(jnp.zeros_like, params)
     carry0 = (params, opt_state, best0, jnp.float32(1e6), jnp.int32(-1), key)
-    carry, epoch_losses = jax.lax.scan(
+    carry, (epoch_losses, step_losses) = jax.lax.scan(
         epoch_body, carry0, jnp.arange(tspec.epochs)
     )
     params, _, best_params, best_mse, best_epoch, _ = carry
@@ -325,6 +326,7 @@ def fit_core(
         best_epoch=best_epoch,
         final_params=params,
         epoch_losses=epoch_losses,
+        step_losses=step_losses,
     )
 
 
