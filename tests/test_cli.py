@@ -65,3 +65,25 @@ def test_sweep_and_summarize_cli(tmp_path):
     k5 = [float(x) for x in rows[2][1:]]
     assert k4[1] > k5[1]  # lower K -> higher PSNR
     assert k4[2] > k5[2]  # lower K -> more bits
+
+
+def test_anchors_and_report_cli(tmp_path):
+    from lbdrn_msic_tpu.cli import anchors as anchors_cli
+    from lbdrn_msic_tpu.cli import report as report_cli
+
+    img = synth_scene(48, 48, channels=2, seed=23)
+    tif = str(tmp_path / "s.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "sr")
+    assert anchors_cli.main(
+        ["-i", tif, "-o", out, "-m", "Baseline", "--k-min", "3", "--k-max", "6"]
+    ) == 0
+    base_csv = os.path.join(out, "Baseline_4rps.csv")
+    assert os.path.exists(base_csv)
+
+    # report of baseline against itself: BD ~ 0
+    assert report_cli.main(
+        ["-t", base_csv, "-a", f"Baseline={base_csv}", "-n", "1", "-k", "4",
+         "--plot-dir", str(tmp_path / "plots")]
+    ) == 0
+    assert os.path.exists(str(tmp_path / "plots" / "rd_image0.png"))
