@@ -27,28 +27,25 @@ _LPC_MAGIC = b"LLPC"
 
 
 def _band_groups(c: int) -> List[int]:
-    groups = [4] * (c // 4)
-    r = c % 4
-    if r == 3:
-        groups.append(3)
-    elif r == 2:
-        groups.extend([1, 1])
-    elif r == 1:
-        groups.append(1)
-    return groups
+    """One codestream per band: no ratio cost on multispectral data
+    (OpenJPEG codes components independently here) and bands encode/decode
+    in parallel threads.  The container records group sizes, so older
+    streams with wider groups still decode."""
+    return [1] * c
 
 
 def _encode_jp2(msb: np.ndarray) -> bytes:
+    import concurrent.futures
+
     import cv2
 
     c, h, w = msb.shape
     groups = _band_groups(c)
-    payloads = []
-    i = 0
-    for g in groups:
-        chunk = msb[i : i + g]
-        i += g
-        hwc = np.ascontiguousarray(chunk.transpose(1, 2, 0))
+    starts = np.cumsum([0] + groups[:-1])
+
+    def enc_one(i_g):
+        i, g = i_g
+        hwc = np.ascontiguousarray(msb[i : i + g].transpose(1, 2, 0))
         if g == 1:
             hwc = hwc[:, :, 0]
         ok, buf = cv2.imencode(
@@ -56,7 +53,10 @@ def _encode_jp2(msb: np.ndarray) -> bytes:
         )
         if not ok:
             raise RuntimeError("cv2 JPEG2000 encode failed")
-        payloads.append(bytes(buf))
+        return bytes(buf)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=min(8, len(groups))) as pool:
+        payloads = list(pool.map(enc_one, zip(starts, groups)))
     out = bytearray(_JP2_MAGIC)
     out.append(1)  # version
     out.append(len(groups))
@@ -82,16 +82,23 @@ def _decode_jp2(data: bytes) -> np.ndarray:
         groups.append(data[ptr])
         sizes.append(struct.unpack_from("<I", data, ptr + 1)[0])
         ptr += 5
-    bands = []
-    for g, sz in zip(groups, sizes):
-        buf = np.frombuffer(data[ptr : ptr + sz], dtype=np.uint8)
+    import concurrent.futures
+
+    chunks = []
+    for sz in sizes:
+        chunks.append(np.frombuffer(data[ptr : ptr + sz], dtype=np.uint8))
         ptr += sz
+
+    def dec_one(buf):
         img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
         if img is None:
             raise RuntimeError("cv2 JPEG2000 decode failed")
         if img.ndim == 2:
             img = img[:, :, None]
-        bands.append(img.transpose(2, 0, 1))
+        return img.transpose(2, 0, 1)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
+        bands = list(pool.map(dec_one, chunks))
     out = np.concatenate(bands, axis=0)
     want = np.uint8 if itemsize == 1 else np.uint16
     return out.astype(want, copy=False)
