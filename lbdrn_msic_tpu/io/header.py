@@ -216,6 +216,11 @@ def _encode_v1(h: StreamHeader) -> bytes:
         out += v.to_bytes(3, "big")
     for v in h.base_bytes:
         out += v.to_bytes(4, "big")
+    if len(out) > 0xFFFF:
+        raise ValueError(
+            f"v1 header {len(out)} bytes exceeds the u16 length field "
+            f"(split_ratio {h.split_ratio} too large)"
+        )
     struct.pack_into(">H", out, 2, len(out))
     return bytes(out)
 
