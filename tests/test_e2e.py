@@ -88,3 +88,22 @@ def test_stream_sizes_accounted():
     h = decode_header(stream)
     assert h.nn_bytes == [t.nn_bytes] and h.base_bytes == [t.base_bytes]
     assert len(stream) == header_size(stream) + t.nn_bytes + t.base_bytes
+
+
+def test_corrupt_streams_fail_cleanly():
+    """Truncated/garbled inputs must raise, not produce silent garbage."""
+    img = synth_scene(48, 48, channels=2, seed=99)
+    cfg = CodecConfig(K=4, train=TrainSpec(epochs=1, batch_size=2048))
+    stream, _ = encode_image(img, cfg)
+
+    with pytest.raises(Exception):
+        decode_stream(stream[: len(stream) // 3])  # truncated mid-payload
+    with pytest.raises(Exception):
+        decode_stream(b"\x00" + stream[1:])  # clobbered header byte
+    garbled = bytearray(stream)
+    garbled[len(garbled) // 2] ^= 0xFF
+    try:
+        rec, _ = decode_stream(bytes(garbled))
+        assert rec.shape == img.shape  # bit flips may still decode; shape must hold
+    except Exception:
+        pass
