@@ -73,11 +73,12 @@ class DecodeStats:
 STAGE_BUDGET_BYTES = 8 << 30  # tap-matrix staging budget per tile
 
 
-@functools.partial(jax.jit, static_argnames=("K", "D"))
-def _prepare_tile(img: jnp.ndarray, K: int, D: int):
+@functools.partial(jax.jit, static_argnames=("D",))
+def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
     """One fused device program for all training prep: MSB/LSB split,
-    reflect pad + scale, label matrix."""
-    msb, lsb = split_msb_lsb(img, K)
+    reflect pad + scale, label matrix.  K is traced (one compile per shape,
+    not per rate point)."""
+    msb, lsb = split_msb_lsb(img, jnp.asarray(K, jnp.int32))
     plane, plane_scale = pad_plane(msb, D)
     labels = build_label_matrix(lsb)
     return plane, plane_scale, labels

@@ -27,31 +27,37 @@ from lbdrn_msic_tpu.models.siren import (
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fspec", "mspec", "K", "H", "W", "block_rows")
+    jax.jit, static_argnames=("fspec", "mspec", "H", "W", "block_rows")
 )
 def reconstruct(
     base: jnp.ndarray,
     params: SirenParams,
     fspec: FeatureSpec,
     mspec: ModelSpec,
-    K: int,
+    K: jnp.ndarray,
     H: int,
     W: int,
     block_rows: int = 256,
 ) -> jnp.ndarray:
-    """base: (C, H, W) uint16 decoded base layer -> (C, H, W) uint16 image."""
+    """base: (C, H, W) uint16 decoded base layer -> (C, H, W) uint16 image.
+
+    K is a traced scalar so one compiled program serves every rate point of
+    an RD sweep (shapes don't depend on it).
+    """
     C = base.shape[0]
+    K = jnp.asarray(K, jnp.int32)
     plane, scale = pad_plane(base, fspec.D)
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     R = min(block_rows, H)
     n_blocks = -(-H // R)
+    lsb_peak = (jnp.int32(1) << K).astype(jnp.float32) - 1.0
 
     def body(_, b):
         r0 = jnp.minimum(b * R, H - R)
         x = row_block_features(plane, scale, r0, fspec, H, W, R)
         pred = forward(params, pad_features(x, padded_in), mspec)
-        residual = jnp.round(pred * float(2**K - 1))  # (R*W, C)
+        residual = jnp.round(pred * lsb_peak)  # (R*W, C)
         residual = residual.reshape(R, W, C).transpose(2, 0, 1)
         base_blk = jax.lax.dynamic_slice(base, (0, r0, 0), (C, R, W))
         shifted = (base_blk.astype(jnp.int32) << K).astype(jnp.float32)
