@@ -70,6 +70,10 @@ def bd_report(
     """
     a_psnr, a_bits, _ = read_results_csv(anchor_csv, n_images, k_points, last)
     t_psnr, t_bits, _ = read_results_csv(test_csv, n_images, k_points, last)
+    # a lossless rate point reports PSNR = inf (e.g. a lossy anchor that hit
+    # reversibility); clamp so the Bjontegaard polyfit stays finite
+    a_psnr = np.where(np.isfinite(a_psnr), a_psnr, 99.999)
+    t_psnr = np.where(np.isfinite(t_psnr), t_psnr, 99.999)
     rates, psnrs = [], []
     for i in range(n_images):
         rates.append(round(bd_rate(a_bits[i], a_psnr[i], t_bits[i], t_psnr[i],
