@@ -23,7 +23,7 @@ decode.py:114-120) so weight streams are layout-compatible.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import json
 import logging
 import os
 import sys
-from typing import Optional
 
 
 class RunLogger:
