@@ -1,0 +1,96 @@
+"""Training-loop semantics: best-checkpoint cadence, LR schedule, masking."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
+from lbdrn_msic_tpu.features.engine import (
+    build_label_matrix,
+    lsb_scale,
+    pad_plane,
+    split_msb_lsb,
+)
+from lbdrn_msic_tpu.train.loop import fit, make_lr_schedule
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+FSPEC = FeatureSpec()
+MSPEC = ModelSpec(base_channel=16, num_layers=1)
+
+
+def _prep(hw=(40, 40), c=2, K=5, seed=0):
+    img = synth_scene(*hw, channels=c, seed=seed)
+    msb, lsb = split_msb_lsb(jnp.asarray(img), K)
+    plane, scale = pad_plane(msb, FSPEC.D)
+    return plane, scale, build_label_matrix(lsb), jnp.float32(lsb_scale(K))
+
+
+def test_lr_schedule_matches_steplr():
+    """StepLR(step=max(1, e//3), gamma=0.1) by epoch (reference encode.py:85)."""
+    ts = TrainSpec(lr=1e-3, epochs=10)
+    sched = make_lr_schedule(ts, steps_per_epoch=100)
+    # epochs 0-2 -> lr0; 3-5 -> lr0/10; 6-8 -> lr0/100; 9 -> lr0/1000
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert np.isclose(float(sched(299)), 1e-3)
+    assert np.isclose(float(sched(300)), 1e-4)
+    assert np.isclose(float(sched(599)), 1e-4)
+    assert np.isclose(float(sched(600)), 1e-5)
+    assert np.isclose(float(sched(900)), 1e-6)
+    # epochs=1 -> step_size=1 but only one epoch at lr0
+    s1 = make_lr_schedule(TrainSpec(lr=1e-3, epochs=1), 10)
+    assert np.isclose(float(s1(5)), 1e-3)
+
+
+def test_epochs1_takes_final_params():
+    """With epochs == 1 the final weights are used without eval
+    (reference encode.py:100-103)."""
+    plane, scale, labels, lscale = _prep()
+    ts = TrainSpec(epochs=1, batch_size=512)
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(0),
+            FSPEC, MSPEC, ts, 40, 40, 2)
+    assert int(r.best_epoch) == 1
+    for a, b in zip(r.params.weights, r.final_params.weights):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_epoch_tracking_strict_improvement():
+    plane, scale, labels, lscale = _prep()
+    ts = TrainSpec(epochs=6, batch_size=512)
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(0),
+            FSPEC, MSPEC, ts, 40, 40, 2)
+    assert 1 <= int(r.best_epoch) <= 6
+    assert float(r.best_mse) < 1e6
+    # best params generally != final params unless last epoch was best
+    assert r.step_losses.shape[0] == 6
+
+
+def test_val_every_cadence():
+    """val_every=3 evaluates only at epochs 3 and 6, so best_epoch must be
+    one of those."""
+    plane, scale, labels, lscale = _prep(seed=4)
+    ts = TrainSpec(epochs=6, batch_size=512, val_every=3)
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(1),
+            FSPEC, MSPEC, ts, 40, 40, 2)
+    assert int(r.best_epoch) in (3, 6)
+
+
+def test_partial_batch_masking():
+    """Pixel counts not divisible by the batch keep the tail batch (masked),
+    like DataLoader drop_last=False."""
+    plane, scale, labels, lscale = _prep(hw=(37, 31), seed=2)  # 1147 px
+    ts = TrainSpec(epochs=2, batch_size=512)  # 3 steps, last has 123 px
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(0),
+            FSPEC, MSPEC, ts, 37, 31, 2)
+    assert r.step_losses.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(r.step_losses)))
+
+
+def test_loss_decreases():
+    plane, scale, labels, lscale = _prep(hw=(64, 64), seed=5)
+    ts = TrainSpec(epochs=5, batch_size=1024)
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(0),
+            FSPEC, MSPEC, ts, 64, 64, 2)
+    losses = np.asarray(r.epoch_losses)
+    assert losses[-1] < losses[0]
