@@ -87,3 +87,29 @@ def test_anchors_and_report_cli(tmp_path):
          "--plot-dir", str(tmp_path / "plots")]
     ) == 0
     assert os.path.exists(str(tmp_path / "plots" / "rd_image0.png"))
+
+
+def test_logs_match_reference_scraper_regexes(tmp_path):
+    """The reference's results_summary.py regexes (results_summary.py:8-13)
+    must find our log lines verbatim."""
+    import re
+
+    img = synth_scene(48, 48, channels=2, seed=31)
+    tif = str(tmp_path / "r.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "out")
+    encode_cli.main(["-i", tif, "-o", out, "-K", "5"] + FAST)
+    run_dir = os.path.join(out, "r_r1_K5_bc64_nl2_D2_prec16_lr0.001_bs2048_e2")
+    decode_cli.main(
+        ["-i", os.path.join(run_dir, "r.bin"), "-org", tif]
+    )
+    dec = open(os.path.join(run_dir, "decode.txt")).read()
+    enc = open(os.path.join(run_dir, "encode.txt")).read()
+    assert re.search(r"MSE: (\d+\.\d+)", dec)
+    assert re.search(r"PSNR: (\d+\.\d+)", dec)
+    assert re.search(r"bpsp=(\d+\.\d+)", dec)
+    assert re.search(r"Total size: (\d+) bytes", dec)
+    assert re.search(r"Time elapsed: (\d+\.\d+)", dec)
+    assert re.search(r"nn: (\d+) bytes", enc)
+    assert re.search(r"MSB: (\d+) bytes", enc)
+    assert re.search(r"Time elapsed: (\d+\.\d+)", enc)
