@@ -26,3 +26,14 @@ from lbdrn_msic_tpu.core.config import (  # noqa: F401
     ModelSpec,
     TrainSpec,
 )
+
+_LAZY = {"encode_image", "decode_stream"}
+
+
+def __getattr__(name):
+    """Lazy top-level codec API: `from lbdrn_msic_tpu import encode_image`."""
+    if name in _LAZY:
+        from lbdrn_msic_tpu import codec
+
+        return getattr(codec, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
