@@ -85,18 +85,25 @@ def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
 
 
 def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
-    """Train one tile's network; returns (flat_params, msb_np, fit_result).
+    """Train one tile's network; returns (flat_fn, msb_fn, fit_result).
 
-    The MSB split is done on the host too (cheap numpy) so the base-layer
-    codec never waits on a device->host transfer of the full plane.
+    Critical-path ordering: the host->device transfer is dispatched first
+    (asynchronous), the cheap host-side stats run while it flies, and the
+    full MSB plane materialization (`tile >> K`) is deferred into `msb_fn`
+    so the base-layer worker thread pays it, not the training path.
     """
     C, H, W = tile.shape
     fspec = cfg.features
-    # host-side split for the base layer stream
-    msb_np = tile >> cfg.K
-    max_msb = int(msb_np.max())
+    dev = jnp.asarray(tile)  # async h2d; overlaps the host work below
+    max_msb = int(tile.max()) >> cfg.K
+
+    def msb_fn():
+        # reference stores MSB as uint8 when it fits (LBDRNdataset.py:100)
+        msb = tile >> cfg.K
+        return msb.astype(np.uint8) if max_msb <= 255 else msb.astype(np.uint16)
+
     # device-side prep for training
-    plane, plane_scale, labels = _prepare_tile(jnp.asarray(tile), cfg.K, fspec.D)
+    plane, plane_scale, labels = _prepare_tile(dev, cfg.K, fspec.D)
     label_scale = jnp.float32(lsb_scale(cfg.K))
 
     side = 2 * fspec.D + 1
@@ -118,9 +125,7 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
     def flat_fn():
         return flatten_params(result.params, fspec.feature_dim(C))
 
-    # reference stores MSB as uint8 when it fits (LBDRNdataset.py:100)
-    msb_np = msb_np.astype(np.uint8) if max_msb <= 255 else msb_np.astype(np.uint16)
-    return flat_fn, msb_np, result
+    return flat_fn, msb_fn, result
 
 
 def encode_image(
@@ -151,8 +156,10 @@ def encode_image(
             tkey = jax.random.fold_in(key, tile_idx)
             t1 = time.time()
             # dispatches device training; returns before the TPU finishes
-            flat_fn, msb_np, result = _train_tile(tile, cfg, tkey)
-            base_future = pool.submit(encode_base, msb_np, cfg.base_codec)
+            flat_fn, msb_fn, result = _train_tile(tile, cfg, tkey)
+            base_future = pool.submit(
+                lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
+            )
             flat = flat_fn()  # blocks on the device result
             best_mse, best_epoch = jax.device_get(
                 (result.best_mse, result.best_epoch)
