@@ -57,6 +57,16 @@ def main(argv=None) -> int:
     stream, stats = encode_image(img, cfg, key=key,
                                  header_version=args.header_version,
                                  collect_curves=args.tensorboard)
+    write_encode_outputs(log, bin_path, stem, stream, stats, t0,
+                         tensorboard=args.tensorboard,
+                         out_dir=out_dir)
+    log.close()
+    return 0
+
+
+def write_encode_outputs(log, bin_path, stem, stream, stats, t0,
+                         tensorboard=False, out_dir=None):
+    """Write the bitstream + the reference-format log lines for one run."""
     with open(bin_path, "wb") as f:
         f.write(stream)
 
@@ -68,7 +78,7 @@ def main(argv=None) -> int:
         log.event(tile=i, nn_bytes=t.nn_bytes, base_bytes=t.base_bytes,
                   best_mse=t.best_mse, best_epoch=t.best_epoch,
                   train_time=t.train_time, base_time=t.base_time)
-    if args.tensorboard:
+    if tensorboard:
         from lbdrn_msic_tpu.utils.tboard import tensorboard_available, write_training_curves
 
         if tensorboard_available():
@@ -80,8 +90,6 @@ def main(argv=None) -> int:
     log.info(f"Total size: {len(stream)} bytes, bpsp={len(stream) * 8 / n_sub}")
     log.info(f"Time elapsed: {time.time() - t0}")
     log.event(total_bytes=len(stream), bpsp=stats.bpsp, elapsed=stats.elapsed)
-    log.close()
-    return 0
 
 
 if __name__ == "__main__":

@@ -26,8 +26,15 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output_dir", type=str, default="outputs")
     p.add_argument("--k-min", type=int, default=1)
     p.add_argument("--k-max", type=int, default=11)
+    p.add_argument("--pipeline", action="store_true",
+                   help="cross-job pipelined encoding (codec.encode_pipelined): "
+                        "job i+1's transfers/host codecs overlap job i's device "
+                        "training; byte-identical streams, device-bound throughput")
     add_codec_args(p, encode=True)
     args = p.parse_args(argv)
+
+    if args.pipeline:
+        return _pipelined_sweep(args)
 
     base_flags = []
     for flag, val in [
@@ -61,6 +68,52 @@ def main(argv=None) -> int:
             bin_path = os.path.join(run_dir, f"{stem}.bin")
             print(f"[sweep] decode {stem} K={K}")
             decode_cli.main(["-i", bin_path, "-org", path])
+    return 0
+
+
+def _pipelined_sweep(args) -> int:
+    import time
+
+    from lbdrn_msic_tpu.cli.common import config_from_args
+    from lbdrn_msic_tpu.cli.encode import write_encode_outputs
+    from lbdrn_msic_tpu.codec import encode_pipelined
+    from lbdrn_msic_tpu.io.tiff import read_tiff
+    from lbdrn_msic_tpu.utils.logging import RunLogger, run_is_complete
+
+    base_cfg = config_from_args(args)
+    jobs, meta = [], []
+    for path in args.paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        img = None
+        for K in range(args.k_min, args.k_max + 1):
+            cfg = dataclasses.replace(base_cfg, K=K)
+            run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
+            bin_path = os.path.join(run_dir, f"{stem}.bin")
+            if run_is_complete(run_dir, "encode.txt", "Time elapsed") and os.path.exists(bin_path):
+                continue
+            if img is None:
+                img = read_tiff(path)
+            jobs.append((img, cfg))
+            meta.append((stem, path, run_dir, bin_path))
+
+    if jobs:
+        print(f"[sweep] pipelined encode of {len(jobs)} jobs")
+        results = encode_pipelined(jobs)
+        for (stem, path, run_dir, bin_path), (stream, stats) in zip(meta, results):
+            os.makedirs(run_dir, exist_ok=True)
+            log = RunLogger(run_dir, "encode.txt", to_stdout=False)
+            write_encode_outputs(
+                log, bin_path, stem, stream, stats, time.time() - stats.elapsed
+            )
+            log.close()
+
+    for path in args.paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        for K in range(args.k_min, args.k_max + 1):
+            cfg = dataclasses.replace(base_cfg, K=K)
+            run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
+            print(f"[sweep] decode {stem} K={K}")
+            decode_cli.main(["-i", os.path.join(run_dir, f"{stem}.bin"), "-org", path])
     return 0
 
 

@@ -204,6 +204,87 @@ def encode_image(
     return stream, stats
 
 
+def encode_pipelined(
+    jobs: List[tuple[np.ndarray, CodecConfig]],
+    key: Optional[jax.Array] = None,
+    header_version: int = 1,
+) -> List[tuple[bytes, EncodeStats]]:
+    """Encode a list of (image, cfg) jobs with cross-job pipelining.
+
+    The next job's h2d transfer + host prep are dispatched while the device
+    still trains the previous job, and each job's weight/base coding runs
+    while its successor trains — so a sweep (the reference's run.sh
+    workload) runs at device-bound throughput instead of paying transfer
+    and host-codec latency per job.  Jobs must be untiled (split_ratio 1);
+    tiled jobs fall back to `encode_image`.
+    """
+    import concurrent.futures
+
+    results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(jobs)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+        pending = None  # (job_idx, t_start, flat_fn, base_future, result, cfg, shape)
+
+        def finalize(p):
+            job_idx, t_start, flat_fn, base_future, result, cfg, shape = p
+            C, H, W = shape
+            flat = flat_fn()
+            best_mse, best_epoch = jax.device_get(
+                (result.best_mse, result.best_epoch)
+            )
+            nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+            base = base_future.result()
+            header = header_from_config(
+                cfg, W, H, [len(nn)], [len(base)], version=header_version
+            )
+            stream = encode_header(header) + nn + base
+            elapsed = time.time() - t_start
+            stats = EncodeStats(
+                tiles=[TileStats(
+                    nn_bytes=len(nn), base_bytes=len(base),
+                    best_mse=float(best_mse), best_epoch=int(best_epoch),
+                    train_time=elapsed, base_time=0.0,
+                )],
+                total_bytes=len(stream),
+                n_subpixels=C * H * W,
+                elapsed=elapsed,
+            )
+            results[job_idx] = (stream, stats)
+
+        for i, (img, cfg) in enumerate(jobs + [(None, None)]):
+            nxt = None
+            if img is not None:
+                if img.ndim == 2:
+                    img = img[None]
+                # per-job keys match encode_image's exactly so both APIs
+                # produce byte-identical streams
+                job_key = (
+                    jax.random.fold_in(key, i)
+                    if key is not None
+                    else jax.random.PRNGKey(cfg.train.seed)
+                )
+                if cfg.split_ratio != 1:
+                    if pending is not None:
+                        finalize(pending)
+                        pending = None
+                    results[i] = encode_image(img, cfg, job_key, header_version)
+                    continue
+                t_start = time.time()
+                tkey = jax.random.fold_in(job_key, 0)
+                flat_fn, msb_fn, result = _train_tile(img, cfg, tkey)
+                base_future = pool.submit(
+                    lambda fn=msb_fn, c=cfg: encode_base(fn(), c.base_codec)
+                )
+                nxt = (i, t_start, flat_fn, base_future, result, cfg, img.shape)
+            if pending is not None:
+                finalize(pending)
+            pending = nxt
+        if pending is not None:
+            finalize(pending)
+    assert all(r is not None for r in results)
+    return results  # type: ignore[return-value]
+
+
 def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
     """bitstream -> ((C, H, W) uint16 image, stats)."""
     t0 = time.time()

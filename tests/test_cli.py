@@ -113,3 +113,23 @@ def test_logs_match_reference_scraper_regexes(tmp_path):
     assert re.search(r"nn: (\d+) bytes", enc)
     assert re.search(r"MSB: (\d+) bytes", enc)
     assert re.search(r"Time elapsed: (\d+\.\d+)", enc)
+
+
+def test_pipelined_sweep_cli(tmp_path):
+    img = synth_scene(48, 48, channels=2, seed=41)
+    tif = str(tmp_path / "p.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "out")
+    assert sweep_cli.main(
+        ["-i", tif, "-o", out, "--k-min", "4", "--k-max", "5", "--pipeline"] + FAST
+    ) == 0
+    for K in (4, 5):
+        run_dir = os.path.join(
+            out, f"p_r1_K{K}_bc64_nl2_D2_prec16_lr0.001_bs2048_e2"
+        )
+        got = scrape_log(os.path.join(run_dir, "decode.txt"))
+        assert got["psnr"] > 40
+    # resumable: second invocation must be a no-op for encodes
+    assert sweep_cli.main(
+        ["-i", tif, "-o", out, "--k-min", "4", "--k-max", "5", "--pipeline"] + FAST
+    ) == 0

@@ -107,3 +107,21 @@ def test_corrupt_streams_fail_cleanly():
         assert rec.shape == img.shape  # bit flips may still decode; shape must hold
     except Exception:
         pass
+
+
+def test_encode_pipelined_matches_encode_image():
+    """Pipelined multi-job encoding must produce byte-identical streams."""
+    from lbdrn_msic_tpu.codec import encode_pipelined
+
+    imgs = [synth_scene(48, 48, channels=2, seed=s) for s in (1, 2)]
+    cfgs = [
+        CodecConfig(K=4, train=TrainSpec(epochs=2, batch_size=1024)),
+        CodecConfig(K=6, train=TrainSpec(epochs=2, batch_size=1024)),
+    ]
+    jobs = list(zip(imgs, cfgs))
+    piped = encode_pipelined(jobs)
+    for (img, cfg), (stream, stats) in zip(jobs, piped):
+        solo, _ = encode_image(img, cfg)
+        assert stream == solo
+        rec, _ = decode_stream(stream)
+        np.testing.assert_array_equal(rec >> cfg.K, img >> cfg.K)
