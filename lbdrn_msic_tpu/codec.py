@@ -293,7 +293,10 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
     fspec = header.feature_spec()
     mspec = header.model_spec()
     # dispatch every tile's device reconstruction before fetching any result:
-    # host-side JP2/weight decoding of tile t+1 overlaps the TPU replaying t
+    # host-side JP2/weight decoding of tile t+1 overlaps the TPU replaying t;
+    # single-tile streams use the row-band streamed path (d2h overlaps compute)
+    from lbdrn_msic_tpu.decode.reconstruct import reconstruct_streamed
+
     pending = []
     for t in range(header.n_tiles):
         nn = data[ptr : ptr + header.nn_bytes[t]]
@@ -304,9 +307,13 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
         C, th, tw = base.shape
         flat = decompress_weights(nn, header.weight_codec)
         params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
+        if header.n_tiles == 1:
+            tiles = [reconstruct_streamed(base, params, fspec, mspec, header.K)]
+            break
         pending.append(
             reconstruct(jnp.asarray(base), params, fspec, mspec, header.K, th, tw)
         )
-    tiles = [np.asarray(r) for r in pending]
+    else:
+        tiles = [np.asarray(r) for r in pending]
     img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
     return img, DecodeStats(elapsed=time.time() - t0, header=header)
