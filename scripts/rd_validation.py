@@ -53,31 +53,41 @@ def main() -> int:
     names = list(images)
     ks = list(range(args.k_min, args.k_max + 1))
 
-    # --- LBDRN sweep
+    # --- LBDRN sweep (pipelined across all (K, scene) jobs)
+    from lbdrn_msic_tpu.codec import encode_pipelined
+
     lbdrn_csv = os.path.join(args.out, "lbdrn_results.csv")
     metrics = ["MSE", "PSNR", "bpsp", "bits"]
+    jobs, tags = [], []
+    for K in ks:
+        cfg = CodecConfig(
+            K=K, train=TrainSpec(epochs=args.epochs, sample_granule=args.granule)
+        )
+        for n in names:
+            jobs.append((images[n], cfg))
+            tags.append((K, n))
+    t0 = time.time()
+    encoded = encode_pipelined(jobs)
+    print(f"[lbdrn] pipelined encode of {len(jobs)} jobs: {time.time()-t0:.1f}s",
+          flush=True)
+    rd = {}
+    for (K, n), (stream, _) in zip(tags, encoded):
+        rec, _ = decode_stream(stream)
+        mse = float(np.mean(
+            (images[n].astype(np.float32) - rec.astype(np.float32)) ** 2
+        ))
+        psnr = 10 * np.log10(PSNR_PEAK**2 / mse) if mse else float("inf")
+        bits = 8 * len(stream)
+        rd[(K, n)] = [mse, psnr, bits / images[n].size, bits]
+        print(f"[lbdrn] {n} K={K}: {psnr:.2f} dB {bits/images[n].size:.3f} bpsp",
+              flush=True)
     with open(lbdrn_csv, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["K"] + [f"{n}_{m}" for n in names for m in metrics])
         for K in ks:
             row = [f"K{K}"]
-            cfg = CodecConfig(
-                K=K,
-                train=TrainSpec(epochs=args.epochs, sample_granule=args.granule),
-            )
             for n in names:
-                t0 = time.time()
-                stream, _ = encode_image(images[n], cfg)
-                rec, _ = decode_stream(stream)
-                mse = float(np.mean(
-                    (images[n].astype(np.float32) - rec.astype(np.float32)) ** 2
-                ))
-                psnr = 10 * np.log10(PSNR_PEAK**2 / mse) if mse else float("inf")
-                bits = 8 * len(stream)
-                row += [mse, psnr, bits / images[n].size, bits]
-                print(f"[lbdrn] {n} K={K}: {psnr:.2f} dB "
-                      f"{bits/images[n].size:.3f} bpsp ({time.time()-t0:.1f}s)",
-                      flush=True)
+                row += rd[(K, n)]
             w.writerow(row)
 
     # --- anchors
