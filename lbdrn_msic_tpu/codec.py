@@ -21,7 +21,6 @@ import numpy as np
 from lbdrn_msic_tpu.codecs.base_layer import decode_base, encode_base
 from lbdrn_msic_tpu.codecs.weights import compress_weights, decompress_weights
 from lbdrn_msic_tpu.core.config import CodecConfig
-from lbdrn_msic_tpu.decode.reconstruct import reconstruct
 from lbdrn_msic_tpu.features.engine import (
     build_label_matrix,
     lsb_scale,
@@ -292,10 +291,11 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
     ptr = header_size(data)
     fspec = header.feature_spec()
     mspec = header.model_spec()
-    # dispatch every tile's device reconstruction before fetching any result:
-    # host-side JP2/weight decoding of tile t+1 overlaps the TPU replaying t;
-    # single-tile streams use the row-band streamed path (d2h overlaps compute)
-    from lbdrn_msic_tpu.decode.reconstruct import reconstruct_streamed
+    # dispatch every tile's device residual computation before fetching any
+    # result: host-side JP2/weight decoding of tile t+1 overlaps the TPU
+    # replaying t, and each tile's row-band d2h (K bits/subpixel, not the
+    # 16-bit image — see decode/reconstruct.py) overlaps later device work
+    from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed
 
     pending = []
     for t in range(header.n_tiles):
@@ -303,17 +303,13 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
         ptr += header.nn_bytes[t]
         base_stream = data[ptr : ptr + header.base_bytes[t]]
         ptr += header.base_bytes[t]
-        base = decode_base(base_stream, header.base_codec).astype(np.uint16)
+        # keep the stored dtype (uint8 when the MSB fits): halves the h2d
+        # upload; pad_plane/the host add widen on their side
+        base = decode_base(base_stream, header.base_codec)
         C, th, tw = base.shape
         flat = decompress_weights(nn, header.weight_codec)
         params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
-        if header.n_tiles == 1:
-            tiles = [reconstruct_streamed(base, params, fspec, mspec, header.K)]
-            break
-        pending.append(
-            reconstruct(jnp.asarray(base), params, fspec, mspec, header.K, th, tw)
-        )
-    else:
-        tiles = [np.asarray(r) for r in pending]
+        pending.append(dispatch_streamed(base, params, fspec, mspec, header.K))
+    tiles = [finish() for finish in pending]
     img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
     return img, DecodeStats(elapsed=time.time() - t0, header=header)

@@ -81,10 +81,13 @@ def reconstruct_np(base: np.ndarray, params, fspec, mspec, K: int) -> np.ndarray
     )
 
 
+N_PLANES = 16  # residual bitplane slots (covers any K; planes >= K are zero)
+
+
 @functools.partial(
     jax.jit, static_argnames=("fspec", "mspec", "H", "W", "band_rows")
 )
-def _reconstruct_band(
+def _residual_band_planes(
     base: jnp.ndarray,
     params: SirenParams,
     r0: jnp.ndarray,
@@ -95,7 +98,20 @@ def _reconstruct_band(
     W: int,
     band_rows: int,
 ) -> jnp.ndarray:
-    """One row band [r0, r0+band_rows) of the reconstruction (r0 clamped)."""
+    """Predicted residual for row band [r0, r0+band_rows), as bitplanes.
+
+    Only the residual crosses the (slow, ~20-40 MB/s tunnel) d2h link — the
+    host already holds the decoded base layer, and
+    ``image = (base << K) + residual`` is an exact integer add it can do
+    itself (reference decode.py:131-135 math).  The residual is K bits per
+    subpixel, so it is returned as a (N_PLANES, ceil(n/8)) uint8 bitplane
+    matrix (np.unpackbits bit order) and the caller fetches only the first
+    K planes: exactly K bits/subpixel on the wire, one compiled program for
+    every rate point (K stays traced; plane count is static).
+
+    base may be uint8 (the encoder's storage dtype when the MSB fits —
+    reference LBDRNdataset.py:100) or uint16; uint8 halves the h2d upload.
+    """
     C = base.shape[0]
     K = jnp.asarray(K, jnp.int32)
     plane, scale = pad_plane(base, fspec.D)
@@ -108,12 +124,13 @@ def _reconstruct_band(
         rb = jnp.minimum(r0 + b * R, H - R)
         x = row_block_features(plane, scale, rb, fspec, H, W, R)
         pred = forward(params, pad_features(x, padded_in), mspec)
-        residual = jnp.round(pred * lsb_peak).reshape(R, W, C).transpose(2, 0, 1)
-        blk = jax.lax.dynamic_slice(base, (0, rb, 0), (C, R, W))
-        out = jnp.round(
-            (blk.astype(jnp.int32) << K).astype(jnp.float32) + residual
-        ).astype(jnp.uint16)
-        return None, (out, rb - r0)
+        residual = (
+            jnp.round(pred * lsb_peak)
+            .astype(jnp.uint16)
+            .reshape(R, W, C)
+            .transpose(2, 0, 1)
+        )
+        return None, (residual, rb - r0)
 
     _, (blocks, offs) = jax.lax.scan(body, None, jnp.arange(n_blocks))
     out = jnp.zeros((C, band_rows, W), jnp.uint16)
@@ -121,7 +138,72 @@ def _reconstruct_band(
     def place(i, out):
         return jax.lax.dynamic_update_slice(out, blocks[i], (0, offs[i], 0))
 
-    return jax.lax.fori_loop(0, n_blocks, place, out)
+    out = jax.lax.fori_loop(0, n_blocks, place, out)
+
+    flat = out.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    nb = -(-n // 8)
+    if nb * 8 != n:
+        flat = jnp.concatenate([flat, jnp.zeros((nb * 8 - n,), jnp.int32)])
+    octets = flat.reshape(nb, 8)
+    # np.unpackbits 'big' bit order: first element of each octet is the MSB
+    weights = (jnp.int32(1) << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    shifts = jnp.arange(N_PLANES, dtype=jnp.int32)[:, None, None]
+    bits = (octets[None, :, :] >> shifts) & 1  # (N_PLANES, nb, 8); XLA fuses
+    return (bits * weights[None, None, :]).sum(-1).astype(jnp.uint8)
+
+
+def _band_layout(H: int, n_bands: int) -> tuple[int, int]:
+    """(n_bands, band_rows): uniform bands, multiple of the 256-row block so
+    in-band blocks never spill past a band boundary."""
+    if H < 512:
+        return 1, H
+    band_rows = -(-(-(-H // n_bands)) // 256) * 256
+    return -(-H // band_rows), band_rows
+
+
+def dispatch_streamed(
+    base: np.ndarray,
+    params: SirenParams,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    K: int,
+    n_bands: int = 4,
+):
+    """Dispatch the device residual computation for every row band of one
+    tile (asynchronous) and return a zero-arg closure that fetches the
+    bands and assembles the final uint16 image on host.
+
+    Splitting dispatch from fetch lets callers start *all* tiles' device
+    work before blocking on any d2h transfer."""
+    C, H, W = base.shape
+    n_bands, band_rows = _band_layout(H, n_bands)
+    dev = jnp.asarray(base)  # stored dtype (uint8 when it fits): cheap h2d
+    pend = []
+    for b in range(n_bands):
+        r0 = min(b * band_rows, H - band_rows)
+        planes = _residual_band_planes(
+            dev, params, jnp.int32(r0), fspec, mspec, jnp.int32(K),
+            H, W, band_rows,
+        )
+        # slice out the K live planes now (async) so their d2h can start
+        # while later bands still compute
+        pend.append((r0, [planes[j] for j in range(K)]))
+
+    def finish() -> np.ndarray:
+        out = np.empty((C, H, W), np.uint16)
+        band_n = C * band_rows * W
+        for r0, dev_planes in pend:
+            got = jax.device_get(dev_planes)  # one batched fetch per band
+            res = np.zeros(band_n, np.uint16)
+            for j, plane_bytes in enumerate(got):
+                res |= np.unpackbits(plane_bytes)[:band_n].astype(np.uint16) << j
+            res = res.reshape(C, band_rows, W)
+            blk = base[:, r0 : r0 + band_rows].astype(np.uint16) << K
+            out[:, r0 : r0 + band_rows] = blk + res
+        return out
+
+    return finish
 
 
 def reconstruct_streamed(
@@ -132,27 +214,7 @@ def reconstruct_streamed(
     K: int,
     n_bands: int = 4,
 ) -> np.ndarray:
-    """Reconstruction with device->host streaming: the image is computed in
+    """Reconstruction with device->host streaming: residuals are computed in
     row bands, all dispatched asynchronously, so fetching band i overlaps
-    the device computing bands i+1.. — hides transfer latency behind
-    compute (the single-program path serializes them)."""
-    C, H, W = base.shape
-    if H < 512:
-        n_bands, band_rows = 1, H
-    else:
-        # uniform bands, multiple of the 256-row block so in-band blocks
-        # never spill past a band boundary
-        band_rows = -(-(-(-H // n_bands)) // 256) * 256
-        n_bands = -(-H // band_rows)
-    dev = jnp.asarray(base)
-    pend = []
-    for b in range(n_bands):
-        r0 = min(b * band_rows, H - band_rows)
-        pend.append(
-            (r0, _reconstruct_band(dev, params, jnp.int32(r0), fspec, mspec,
-                                   jnp.int32(K), H, W, band_rows))
-        )
-    out = np.empty((C, H, W), np.uint16)
-    for r0, dev_band in pend:
-        out[:, r0 : r0 + band_rows] = np.asarray(dev_band)
-    return out
+    the device computing bands i+1..; only K bits/subpixel cross d2h."""
+    return dispatch_streamed(base, params, fspec, mspec, K, n_bands)()

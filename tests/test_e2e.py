@@ -127,8 +127,10 @@ def test_encode_pipelined_matches_encode_image():
         np.testing.assert_array_equal(rec >> cfg.K, img >> cfg.K)
 
 
-def test_streamed_reconstruct_matches_single_program():
-    """Row-band streamed decode must be bit-identical to the one-shot path."""
+@pytest.mark.parametrize("K", [3, 5, 10])  # pack4 / u8 / u16 residual modes
+def test_streamed_reconstruct_matches_single_program(K):
+    """Row-band streamed decode (residual-only d2h: 4-bit packed, uint8, or
+    uint16 depending on K) must be bit-identical to the one-shot path."""
     import jax
     import jax.numpy as jnp
 
@@ -136,12 +138,12 @@ def test_streamed_reconstruct_matches_single_program():
     from lbdrn_msic_tpu.decode.reconstruct import reconstruct, reconstruct_streamed
     from lbdrn_msic_tpu.models.siren import init_params
 
-    fspec, mspec, K = FeatureSpec(), ModelSpec(base_channel=32, num_layers=1), 5
-    img = synth_scene(700, 96, channels=3, seed=55)  # non-multiple of 256
+    fspec, mspec = FeatureSpec(), ModelSpec(base_channel=32, num_layers=1)
+    img = synth_scene(700, 97, channels=3, seed=55)  # odd W: odd pack4 count
     base = (img >> K).astype(np.uint16)
     params = init_params(jax.random.PRNGKey(1), fspec.feature_dim(3), 3, mspec)
     one = np.asarray(
-        reconstruct(jnp.asarray(base), params, fspec, mspec, K, 700, 96)
+        reconstruct(jnp.asarray(base), params, fspec, mspec, K, 700, 97)
     )
     streamed = reconstruct_streamed(base, params, fspec, mspec, K, n_bands=3)
     np.testing.assert_array_equal(streamed, one)
