@@ -40,28 +40,27 @@ def main():
     # descriptors.  All other knobs are the reference defaults.
     cfg = CodecConfig(K=5, train=TrainSpec(sample_granule=8))
 
-    from lbdrn_msic_tpu.codec import encode_pipelined
+    from lbdrn_msic_tpu.codec import encode_rate_points
     from lbdrn_msic_tpu.core.config import CodecConfig as _CC
+
+    # measured workload: 4 rate points of the image (the reference's run.sh
+    # sweep shape) trained SIMULTANEOUSLY as batched experts in one device
+    # program (codec.encode_rate_points); host base codecs overlap training
+    cfgs = [_CC(K=K, train=TrainSpec(sample_granule=8)) for K in (3, 4, 5, 6)]
 
     # warm-up runs compile every jitted program for these static shapes
     t0 = time.time()
-    warm_stream, _ = encode_image(img, cfg)
-    decode_stream(warm_stream)
+    results = encode_rate_points(img, cfgs)
+    decode_stream(results[2][0])
     warm = time.time() - t0
 
-    # measured workload: 4 rate points of the image encoded back-to-back via
-    # the pipelined path (the reference's run.sh sweep shape) — transfers and
-    # host codecs overlap device training across jobs
-    jobs = [
-        (img, _CC(K=K, train=TrainSpec(sample_granule=8))) for K in (3, 4, 5, 6)
-    ]
     # best of two passes: the remote compile/dispatch service in this dev
     # container has high latency variance; the better pass reflects the chip
     enc_s = float("inf")
     for _ in range(2):
         t0 = time.time()
-        results = encode_pipelined(jobs)
-        enc_s = min(enc_s, (time.time() - t0) / len(jobs))
+        results = encode_rate_points(img, cfgs)
+        enc_s = min(enc_s, (time.time() - t0) / len(cfgs))
     stream, stats = results[2]  # the K=5 job, for the quality report
 
     t0 = time.time()

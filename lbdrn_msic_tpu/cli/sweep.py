@@ -30,10 +30,15 @@ def main(argv=None) -> int:
                    help="cross-job pipelined encoding (codec.encode_pipelined): "
                         "job i+1's transfers/host codecs overlap job i's device "
                         "training; byte-identical streams, device-bound throughput")
+    p.add_argument("--batch-experts", action="store_true",
+                   help="train every K rate point of an image simultaneously as "
+                        "batched experts in one device program "
+                        "(codec.encode_rate_points): fastest sweep mode; streams "
+                        "are RD-equivalent (not byte-identical) to per-job runs")
     add_codec_args(p, encode=True)
     args = p.parse_args(argv)
 
-    if args.pipeline:
+    if args.pipeline or args.batch_experts:
         return _pipelined_sweep(args)
 
     base_flags = []
@@ -97,8 +102,24 @@ def _pipelined_sweep(args) -> int:
             meta.append((stem, path, run_dir, bin_path))
 
     if jobs:
-        print(f"[sweep] pipelined encode of {len(jobs)} jobs")
-        results = encode_pipelined(jobs)
+        if args.batch_experts:
+            from lbdrn_msic_tpu.codec import encode_rate_points
+
+            print(f"[sweep] expert-batched encode of {len(jobs)} jobs")
+            results = []
+            i = 0
+            while i < len(jobs):  # group contiguous jobs of the same image
+                j = i
+                while j < len(jobs) and jobs[j][0] is jobs[i][0]:
+                    j += 1
+                results += encode_rate_points(
+                    jobs[i][0], [c for _, c in jobs[i:j]],
+                    header_version=args.header_version,
+                )
+                i = j
+        else:
+            print(f"[sweep] pipelined encode of {len(jobs)} jobs")
+            results = encode_pipelined(jobs)
         for (stem, path, run_dir, bin_path), (stream, stats) in zip(meta, results):
             os.makedirs(run_dir, exist_ok=True)
             log = RunLogger(run_dir, "encode.txt", to_stdout=False)

@@ -94,6 +94,49 @@ def forward(params: SirenParams, x: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray
     return jax.nn.sigmoid(z)
 
 
+def forward_experts(
+    params: SirenParams, x: jnp.ndarray, spec: ModelSpec
+) -> jnp.ndarray:
+    """Batched-expert forward: params leaves carry a leading expert axis E
+    (weights[i]: (E, in_i, out_i); biases[i]: (E, out_i)); x: (E, B, padded).
+
+    One einsum per layer runs all experts' matmuls in a single MXU kernel —
+    the scale-out shape for training many tiny independent networks (the
+    rate points of an RD sweep) on one chip.  Same math/precision as
+    `forward` per expert slice.
+    """
+    n = len(params.weights)
+    h = x
+    for i in range(n - 1):
+        w0 = spec.w0_initial if i == 0 else spec.w0
+        z = (
+            jnp.einsum(
+                "ebi,eio->ebo", h, params.weights[i],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + params.biases[i][:, None, :]
+        )
+        h = jnp.sin(w0 * z)
+    z = (
+        jnp.einsum(
+            "ebi,eio->ebo", h, params.weights[-1],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + params.biases[-1][:, None, :]
+    )
+    return jax.nn.sigmoid(z)
+
+
+def stack_params(params_list: List[SirenParams]) -> SirenParams:
+    """Stack per-expert params along a new leading expert axis."""
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *params_list)
+
+
+def unstack_params(params: SirenParams, e: int) -> SirenParams:
+    """Slice expert e out of stacked params."""
+    return jax.tree.map(lambda l: l[e], params)
+
+
 def pad_features(x: jnp.ndarray, padded_dim: int) -> jnp.ndarray:
     """Zero-pad the feature axis to the model's padded input width."""
     d = x.shape[-1]

@@ -36,7 +36,25 @@ from lbdrn_msic_tpu.models.siren import SirenParams
 ADAM_B1 = 0.9
 ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
-TILE = 1024
+TILE_ALIGN = 8  # f32 sublane; batch must divide into aligned tiles
+_VMEM_BUDGET = 48 << 20
+
+
+def pick_tile(B: int, padded_in: int, dim_out: int, mspec) -> int:
+    """Largest batch tile that divides B and fits the VMEM budget.
+
+    Per-grid-step overhead (DMA issue + semaphores, ~20us measured through
+    the remote runtime) dwarfs this kernel's compute, so the tile should be
+    as large as VMEM allows — ideally the whole batch (grid == E).
+    """
+    L = mspec.num_layers + 1
+    per_row = 4 * (padded_in + dim_out + 2 * (L - 1) * mspec.base_channel + 8)
+    t = B
+    while t > TILE_ALIGN and (B % t or t * per_row > _VMEM_BUDGET):
+        t //= 2
+    if B % t or t % TILE_ALIGN:
+        return 0
+    return t
 
 
 def _sigmoid(z):
@@ -149,7 +167,7 @@ def _kernel(
         loss_ref[...] = loss_acc[...] * inv_scale
 
 
-@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+@functools.partial(jax.jit, static_argnames=("mspec", "dim_out", "tile"))
 def fused_train_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -161,6 +179,7 @@ def fused_train_step(
     step: jnp.ndarray,
     mspec: ModelSpec,
     dim_out: int,
+    tile: int | None = None,
 ):
     """One fused training step.
 
@@ -172,7 +191,8 @@ def fused_train_step(
         [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
     )
     B = x.shape[0]
-    assert B % TILE == 0, f"batch {B} must be a multiple of {TILE}"
+    TILE = tile or pick_tile(B, x.shape[-1], dim_out, mspec)
+    assert TILE and B % TILE == 0, f"batch {B} has no aligned tile"
     n_tiles = B // TILE
 
     tstep = step.astype(jnp.float32)
@@ -224,6 +244,9 @@ def fused_train_step(
         out_specs=out_specs,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,  # whole-batch tiles; default 16M OOMs
+        ),
     )(scalars, x, y, mask2, *ws, *bs, *mws, *vws, *mbs, *vbs)
 
     new_w = list(outs[0:L])
@@ -233,6 +256,209 @@ def fused_train_step(
     new_mb = [b.reshape(-1) for b in outs[4 * L : 5 * L]]
     new_vb = [b.reshape(-1) for b in outs[5 * L : 6 * L]]
     loss = outs[6 * L].reshape(())
+    return (
+        SirenParams(weights=new_w, biases=new_b),
+        SirenParams(weights=new_mw, biases=new_mb),
+        SirenParams(weights=new_vw, biases=new_vb),
+        loss,
+    )
+
+
+def _kernel_experts(
+    n_layers: int,
+    w0s: Tuple[float, ...],
+    *refs,
+):
+    """Expert-batched kernel body: grid (E, n_tiles), t fastest.
+
+    Same math as _kernel per expert; param/state/output refs carry a leading
+    singleton expert block dim, batch refs are indexed (e, t).  The VMEM
+    gradient accumulators are reused across experts (zeroed at each expert's
+    first tile, consumed by its Adam update at its last tile).
+    """
+    L = n_layers
+    (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
+    pos = 4
+    w_refs = refs[pos : pos + L]; pos += L
+    b_refs = refs[pos : pos + L]; pos += L
+    mw_refs = refs[pos : pos + L]; pos += L
+    vw_refs = refs[pos : pos + L]; pos += L
+    mb_refs = refs[pos : pos + L]; pos += L
+    vb_refs = refs[pos : pos + L]; pos += L
+    nw_refs = refs[pos : pos + L]; pos += L
+    nb_refs = refs[pos : pos + L]; pos += L
+    nmw_refs = refs[pos : pos + L]; pos += L
+    nvw_refs = refs[pos : pos + L]; pos += L
+    nmb_refs = refs[pos : pos + L]; pos += L
+    nvb_refs = refs[pos : pos + L]; pos += L
+    loss_ref = refs[pos]; pos += 1
+    acc_dw = refs[pos : pos + L]; pos += L
+    acc_db = refs[pos : pos + L]; pos += L
+    loss_acc = refs[pos]
+
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _zero():
+        for l in range(L):
+            acc_dw[l][...] = jnp.zeros_like(acc_dw[l])
+            acc_db[l][...] = jnp.zeros_like(acc_db[l])
+        loss_acc[0, 0] = 0.0
+
+    x = x_ref[0]
+    y = y_ref[0]
+    mask = mask_ref[...]  # (TILE, 1), shared across experts
+
+    zs: List[jnp.ndarray] = []
+    h = x
+    for l in range(L - 1):
+        z = (
+            jnp.dot(h, w_refs[l][0], preferred_element_type=jnp.float32)
+            + b_refs[l][0]
+        )
+        zs.append(z)
+        h = jnp.sin(w0s[l] * z)
+        zs.append(h)
+    z_last = (
+        jnp.dot(h, w_refs[L - 1][0], preferred_element_type=jnp.float32)
+        + b_refs[L - 1][0]
+    )
+    p = _sigmoid(z_last)
+
+    diff = (p - y) * mask
+    loss_acc[0, 0] = loss_acc[0, 0] + jnp.sum(diff * diff)
+
+    g = 2.0 * diff * (p * (1.0 - p))
+    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
+    acc_dw[L - 1][...] += jnp.dot(
+        h_in.T, g, preferred_element_type=jnp.float32
+    )
+    acc_db[L - 1][...] += jnp.sum(g, axis=0, keepdims=True)
+    for l in range(L - 2, -1, -1):
+        g = jnp.dot(g, w_refs[l + 1][0].T, preferred_element_type=jnp.float32)
+        z = zs[2 * l]
+        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
+        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
+        acc_dw[l][...] += jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+        acc_db[l][...] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(t == n_tiles - 1)
+    def _update():
+        lr = scalars_ref[0, 0]
+        c1 = scalars_ref[0, 1]
+        c2 = scalars_ref[0, 2]
+        inv_scale = scalars_ref[0, 3]
+        for l in range(L):
+            for grad, theta, m, v, nt, nm, nv in (
+                (acc_dw[l][...] * inv_scale, w_refs[l], mw_refs[l], vw_refs[l],
+                 nw_refs[l], nmw_refs[l], nvw_refs[l]),
+                (acc_db[l][...] * inv_scale, b_refs[l], mb_refs[l], vb_refs[l],
+                 nb_refs[l], nmb_refs[l], nvb_refs[l]),
+            ):
+                m_new = ADAM_B1 * m[0] + (1.0 - ADAM_B1) * grad
+                v_new = ADAM_B2 * v[0] + (1.0 - ADAM_B2) * grad * grad
+                m_hat = m_new * c1
+                v_hat = v_new * c2
+                nt[0] = theta[0] - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
+                nm[0] = m_new
+                nv[0] = v_new
+        loss_ref[pl.program_id(0), 0] = loss_acc[0, 0] * inv_scale
+
+
+@functools.partial(jax.jit, static_argnames=("mspec", "dim_out", "tile"))
+def fused_expert_step(
+    params: SirenParams,
+    m_state: SirenParams,
+    v_state: SirenParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    mask: jnp.ndarray,
+    lr: jnp.ndarray,
+    step: jnp.ndarray,
+    mspec: ModelSpec,
+    dim_out: int,
+    tile: int | None = None,
+):
+    """One fused training step for E experts: grid (E, B/TILE), one kernel.
+
+    params/m/v leaves carry a leading expert axis (weights (E, in, out),
+    biases (E, out)); x: (E, B, padded_in); y: (E, B, dim_out); mask: (B,)
+    shared.  Returns (params', m', v', loss (E,)).
+    """
+    L = mspec.num_layers + 1
+    w0s = tuple(
+        [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
+    )
+    E, B = x.shape[0], x.shape[1]
+    TILE = tile or pick_tile(B, x.shape[-1], dim_out, mspec)
+    assert TILE and B % TILE == 0, f"batch {B} has no aligned tile"
+    n_tiles = B // TILE
+
+    tstep = step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - ADAM_B1**tstep)
+    c2 = 1.0 / (1.0 - ADAM_B2**tstep)
+    cnt = jnp.maximum(mask.sum(), 1.0)
+    inv_scale = 1.0 / (cnt * dim_out)
+    scalars = jnp.stack([lr.astype(jnp.float32), c1, c2, inv_scale]).reshape(1, 4)
+
+    mask2 = mask.reshape(B, 1)
+    ws = list(params.weights)
+    bs = [b.reshape(E, 1, -1) for b in params.biases]
+    mws, mbs = list(m_state.weights), [b.reshape(E, 1, -1) for b in m_state.biases]
+    vws, vbs = list(v_state.weights), [b.reshape(E, 1, -1) for b in v_state.biases]
+
+    expert_full = lambda a: pl.BlockSpec(
+        (1, *a.shape[1:]), lambda e, t: (e,) + (0,) * (a.ndim - 1),
+        memory_space=pltpu.VMEM,
+    )
+    batch_tile = lambda width: pl.BlockSpec(
+        (1, TILE, width), lambda e, t: (e, t, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = (
+        [pl.BlockSpec((1, 4), lambda e, t: (0, 0), memory_space=pltpu.SMEM)]
+        + [batch_tile(x.shape[-1]), batch_tile(y.shape[-1]),
+           pl.BlockSpec((TILE, 1), lambda e, t: (t, 0), memory_space=pltpu.VMEM)]
+        + [expert_full(a) for a in ws + bs + mws + vws + mbs + vbs]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in ws + bs + mws + vws + mbs + vbs]
+        + [jax.ShapeDtypeStruct((E, 1), jnp.float32)]
+    )
+    out_specs = (
+        [expert_full(a) for a in ws + bs + mws + vws + mbs + vbs]
+        + [pl.BlockSpec((E, 1), lambda e, t: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    aliases = {4 + i: i for i in range(6 * L)}
+
+    scratch = (
+        [pltpu.VMEM(a.shape[1:], jnp.float32) for a in ws]
+        + [pltpu.VMEM(b.shape[1:], jnp.float32) for b in bs]
+        + [pltpu.SMEM((1, 1), jnp.float32)]
+    )
+
+    kernel = functools.partial(_kernel_experts, L, w0s)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(E, n_tiles),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,  # whole-batch tiles; default 16M OOMs
+        ),
+    )(scalars, x, y, mask2, *ws, *bs, *mws, *vws, *mbs, *vbs)
+
+    new_w = list(outs[0:L])
+    new_b = [b.reshape(E, -1) for b in outs[L : 2 * L]]
+    new_mw = list(outs[2 * L : 3 * L])
+    new_vw = list(outs[3 * L : 4 * L])
+    new_mb = [b.reshape(E, -1) for b in outs[4 * L : 5 * L]]
+    new_vb = [b.reshape(E, -1) for b in outs[5 * L : 6 * L]]
+    loss = outs[6 * L].reshape(E)
     return (
         SirenParams(weights=new_w, biases=new_b),
         SirenParams(weights=new_mw, biases=new_mb),

@@ -41,12 +41,16 @@ from lbdrn_msic_tpu.features.engine import (
     build_tap_matrix,
     gather_features,
     gather_labels,
+    lsb_scale,
+    pad_plane,
     row_block_features,
+    split_msb_lsb,
     staged_features,
 )
 from lbdrn_msic_tpu.models.siren import (
     SirenParams,
     forward,
+    forward_experts,
     init_params,
     pad_dim,
     pad_features,
@@ -188,9 +192,9 @@ def fit_core(
         labels_g = labels_pad.reshape(n_g, g * C)
 
     if use_fused:
-        from lbdrn_msic_tpu.ops.fused_step import TILE as FUSED_TILE
+        from lbdrn_msic_tpu.ops.fused_step import pick_tile
 
-        if axis_name is not None or bs_local % FUSED_TILE != 0:
+        if axis_name is not None or not pick_tile(bs_local, padded_in, C, mspec):
             use_fused = False
 
     key, init_key = jax.random.split(key)
@@ -327,6 +331,245 @@ def fit_core(
         final_params=params,
         epoch_losses=epoch_losses,
         step_losses=step_losses,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes", "use_fused"
+    ),
+)
+def fit_rate_experts(
+    img: jnp.ndarray,
+    Ks: tuple,
+    key: jax.Array,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    tspec: TrainSpec,
+    H: int,
+    W: int,
+    C: int,
+    tap_dtypes: tuple,
+    use_fused: bool = False,
+) -> FitResult:
+    """Train one network per rate point K — all E=len(Ks) experts batched in
+    ONE jitted program on ONE chip.
+
+    The reference fans rate points out as independent shell jobs
+    (reference run.sh:34-40), each re-running the full training loop; a
+    ~11k-param MLP leaves the MXU nearly idle, so here the sweep *is* the
+    batch dimension: every step gathers each expert's taps with one shared
+    pixel permutation (all jobs use the same seed → identical shuffles,
+    encode.py:200-206 semantics), stacks them (E, B, F), and runs batched
+    einsum matmuls + one Adam update over expert-stacked params.  Expert e's
+    loss only depends on expert e's params, so gradients — and therefore the
+    whole optimizer trajectory, eval cadence, and best-params selection —
+    match the single-job path per expert (up to matmul batching reduction
+    order).
+
+    Labels share storage: LSB_K = img & (2^K - 1), so one uint16 label
+    matrix of the raw image serves every expert (masked per expert after the
+    gather).  Taps are per-expert (the MSB plane depends on K), each staged
+    in its own minimal dtype.
+
+    Returns a FitResult whose leaves carry a leading E axis.
+    """
+    E = len(Ks)
+    dim_in = fspec.feature_dim(C)
+    padded_in = pad_dim(dim_in)
+    n = H * W
+    bs = min(tspec.batch_size, n)
+    g = tspec.sample_granule if fspec.use_colors else 1
+    if g > 1 and bs % g:
+        g = 1
+    n_g = -(-n // g)
+    n_rows = n_g * g
+    bpg = bs // g
+    steps_per_epoch = -(-n_g // bpg)
+    pad_n_g = steps_per_epoch * bpg
+    block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
+    n_colors = fspec.num_color_features(C)
+
+    # per-expert staging: padded plane, scale, tap matrix
+    planes, scales, lscales, taps_g = [], [], [], []
+    for e in range(E):
+        msb, _ = split_msb_lsb(img, jnp.asarray(Ks[e], jnp.int32))
+        plane, scale = pad_plane(msb, fspec.D)
+        planes.append(plane)
+        scales.append(scale)
+        lscales.append(jnp.float32(lsb_scale(Ks[e])))
+        taps = build_tap_matrix(
+            plane, fspec, H, W, jnp.dtype(tap_dtypes[e]), pad_rows_to=n_rows
+        )
+        taps_g.append(taps.reshape(n_g, g * n_colors))
+    planes = jnp.stack(planes)  # (E, C, H+2D, W+2D) uint16
+    scales = jnp.stack(scales)
+    lscales = jnp.stack(lscales)
+    kmasks = jnp.asarray([(1 << k) - 1 for k in Ks], jnp.uint16)  # (E,)
+
+    # shared label storage: raw image rows; LSB_K = row & (2^K - 1)
+    raw = jnp.transpose(img.reshape(C, -1), (1, 0)).astype(jnp.uint16)
+    if n_rows > n:
+        raw = jnp.pad(raw, ((0, n_rows - n), (0, 0)))
+    raw_g = raw.reshape(n_g, g * C)
+
+    key, init_key = jax.random.split(key)
+    # same init key per expert == per-job init (jobs share the seed)
+    p1 = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)
+    paramsE = jax.tree.map(lambda a: jnp.broadcast_to(a, (E, *a.shape)), p1)
+    paramsE = jax.tree.map(jnp.array, paramsE)  # materialize (donation-safe)
+
+    if use_fused:
+        from lbdrn_msic_tpu.ops.fused_step import pick_tile
+
+        if not pick_tile(bs, padded_in, C, mspec):
+            use_fused = False
+
+    schedule = make_lr_schedule(tspec, steps_per_epoch)
+    if use_fused:
+        zeros = jax.tree.map(jnp.zeros_like, paramsE)
+        opt_state = (zeros, zeros, jnp.int32(0))  # (m, v, step count)
+    else:
+        opt = optax.adam(schedule)
+        opt_state = opt.init(paramsE)
+
+    def make_batch(gidx):
+        """shared granule ids -> x (E, bs, padded_in), y (E, bs, C), mask (bs,)."""
+        gvalid = gidx < n_g
+        gi = jnp.clip(gidx, 0, n_g - 1)
+        pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
+        mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+        xs = [
+            (taps_g[e][gi].astype(jnp.float32) * scales[e]).reshape(bs, n_colors)
+            for e in range(E)
+        ]
+        x = jnp.stack(xs)  # (E, bs, n_colors)
+        if fspec.use_coords:
+            pix = pix2d.reshape(-1)
+            coords = _coord_features(pix // W, pix % W, H, W, fspec)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(coords, (E, *coords.shape)), x], axis=-1
+            )
+        x = pad_features(x, padded_in)
+        rows = raw_g[gi].reshape(bs, C)  # one shared label gather
+        y = (rows[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
+        y = y * lscales[:, None, None]
+        return x, y, mask
+
+    def dataset_mse_experts(paramsE):
+        """Full-image MSE per expert, slice path (scan over row blocks)."""
+        R = block_rows
+        n_blocks = -(-H // R)
+
+        def body(acc, b):
+            r0 = jnp.minimum(b * R, H - R)
+            x = jnp.stack(
+                [
+                    row_block_features(planes[e], scales[e], r0, fspec, H, W, R)
+                    for e in range(E)
+                ]
+            )
+            pred = forward_experts(paramsE, pad_features(x, padded_in), mspec)
+            rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            valid = (rows >= b * R) & (rows < H)
+            m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
+            yr = jax.lax.dynamic_slice(raw, (r0 * W, 0), (R * W, C))
+            y = (yr[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
+            y = y * lscales[:, None, None]
+            sse = (((pred - y) ** 2) * m[None, :, None]).sum(axis=(1, 2))
+            return acc + sse, None
+
+        sse, _ = jax.lax.scan(body, jnp.zeros((E,), jnp.float32), jnp.arange(n_blocks))
+        return sse / (n * C)
+
+    def train_step(carry, gidx):
+        paramsE, opt_state = carry
+        x, y, mask = make_batch(gidx)
+
+        if use_fused:
+            from lbdrn_msic_tpu.ops.fused_step import fused_expert_step
+
+            m_state, v_state, count = opt_state
+            paramsE, m_state, v_state, loss_e = fused_expert_step(
+                paramsE, m_state, v_state, x, y, mask,
+                schedule(count), count + 1, mspec, C,
+            )
+            return (paramsE, (m_state, v_state, count + 1)), loss_e
+
+        def loss_fn(p):
+            pred = forward_experts(p, x, mspec)
+            se = ((pred - y) ** 2 * mask[None, :, None]).sum(axis=(1, 2))
+            loss_e = se / (jnp.maximum(mask.sum(), 1.0) * C)
+            # experts are independent: d(sum)/d(p_e) == d(loss_e)/d(p_e)
+            return loss_e.sum(), loss_e
+
+        (_, loss_e), grads = jax.value_and_grad(loss_fn, has_aux=True)(paramsE)
+        updates, opt_state = opt.update(grads, opt_state, paramsE)
+        return (optax.apply_updates(paramsE, updates), opt_state), loss_e
+
+    def epoch_body(carry, epoch_idx):
+        paramsE, opt_state, best_params, best_mse, best_epoch, key = carry
+        key, pk = jax.random.split(key)
+        perm = jax.random.permutation(pk, n_g)  # ONE shared shuffle
+        perm = jnp.concatenate(
+            [perm, jnp.full((pad_n_g - n_g,), n_g, dtype=perm.dtype)]
+        ).reshape(steps_per_epoch, bpg)
+        (paramsE, opt_state), losses = jax.lax.scan(
+            train_step, (paramsE, opt_state), perm
+        )  # losses: (steps, E)
+
+        if tspec.epochs == 1:
+            best_params, best_mse = paramsE, losses.mean(axis=0)
+            best_epoch = jnp.full((E,), 1, jnp.int32)
+        else:
+            def run_eval(args):
+                paramsE, best_params, best_mse, best_epoch = args
+                mse = dataset_mse_experts(paramsE)  # (E,)
+                better = mse < best_mse
+                new_best = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        better.reshape(E, *([1] * (new.ndim - 1))), new, old
+                    ),
+                    paramsE,
+                    best_params,
+                )
+                return (
+                    new_best,
+                    jnp.where(better, mse, best_mse),
+                    jnp.where(better, epoch_idx + 1, best_epoch),
+                )
+
+            def skip_eval(args):
+                _, best_params, best_mse, best_epoch = args
+                return best_params, best_mse, best_epoch
+
+            do_eval = (epoch_idx + 1) % min(tspec.val_every, tspec.epochs) == 0
+            best_params, best_mse, best_epoch = jax.lax.cond(
+                do_eval, run_eval, skip_eval,
+                (paramsE, best_params, best_mse, best_epoch),
+            )
+        return (
+            (paramsE, opt_state, best_params, best_mse, best_epoch, key),
+            (losses.mean(axis=0), jnp.transpose(losses)),  # ((E,), (E, steps))
+        )
+
+    best0 = jax.tree.map(jnp.zeros_like, paramsE)
+    carry0 = (
+        paramsE, opt_state, best0,
+        jnp.full((E,), 1e6, jnp.float32), jnp.full((E,), -1, jnp.int32), key,
+    )
+    carry, (epoch_losses, step_losses) = jax.lax.scan(
+        epoch_body, carry0, jnp.arange(tspec.epochs)
+    )
+    paramsE, _, best_params, best_mse, best_epoch, _ = carry
+    return FitResult(
+        params=best_params,
+        best_mse=best_mse,
+        best_epoch=best_epoch,
+        final_params=paramsE,
+        epoch_losses=jnp.transpose(epoch_losses),  # (E, epochs)
+        step_losses=jnp.transpose(step_losses, (1, 0, 2)),  # (E, epochs, steps)
     )
 
 

@@ -147,3 +147,41 @@ def test_streamed_reconstruct_matches_single_program(K):
     )
     streamed = reconstruct_streamed(base, params, fspec, mspec, K, n_bands=3)
     np.testing.assert_array_equal(streamed, one)
+
+
+def test_encode_rate_points_expert_batched():
+    """Expert-batched rate sweep: RD-equivalent to per-job encoding, valid
+    streams, deterministic."""
+    from lbdrn_msic_tpu.codec import encode_rate_points
+
+    img = synth_scene(64, 64, channels=3, effective_bits=12, seed=21)
+    tr = TrainSpec(epochs=3, batch_size=1024)
+    cfgs = [CodecConfig(K=K, train=tr) for K in (3, 5, 7)]
+    batched = encode_rate_points(img, cfgs)
+    again = encode_rate_points(img, cfgs)
+    for (s1, st1), (s2, _) in zip(batched, again):
+        assert s1 == s2  # deterministic
+    for cfg, (stream, stats) in zip(cfgs, batched):
+        rec, dh = decode_stream(stream)
+        assert dh.header.K == cfg.K
+        np.testing.assert_array_equal(rec >> cfg.K, img >> cfg.K)
+        solo, solo_stats = encode_image(img, cfg)
+        rec_solo, _ = decode_stream(solo)
+        pb, ps = psnr(img, rec), psnr(img, rec_solo)
+        assert abs(pb - ps) < 0.5, f"K={cfg.K}: batched {pb:.2f} vs solo {ps:.2f} dB"
+        assert abs(stats.tiles[0].best_mse - solo_stats.tiles[0].best_mse) < 2e-3
+
+
+def test_encode_rate_points_fallback_mixed_cfgs():
+    """Jobs differing beyond K fall back to the pipelined path."""
+    from lbdrn_msic_tpu.codec import encode_rate_points
+
+    img = synth_scene(48, 48, channels=2, seed=8)
+    cfgs = [
+        CodecConfig(K=4, train=TrainSpec(epochs=1, batch_size=1024)),
+        CodecConfig(K=5, model=ModelSpec(base_channel=32, num_layers=1),
+                    train=TrainSpec(epochs=1, batch_size=1024)),
+    ]
+    for cfg, (stream, _) in zip(cfgs, encode_rate_points(img, cfgs)):
+        solo, _ = encode_image(img, cfg)
+        assert stream == solo  # pipelined fallback is byte-identical

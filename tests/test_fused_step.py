@@ -9,10 +9,11 @@ from jax.experimental.pallas import tpu as pltpu
 from lbdrn_msic_tpu.core.config import ModelSpec
 from lbdrn_msic_tpu.models.siren import init_params
 from lbdrn_msic_tpu.ops.fused_step import (
-    TILE,
     fused_train_step,
     reference_train_step,
 )
+
+TILE = 1024  # forced small tile: exercises multi-tile grid accumulation
 
 
 def _setup(mspec, dim_in, dim_out, B, seed=0):
@@ -39,7 +40,7 @@ def test_fused_matches_reference(bc, nl, dim_in, dim_out):
 
     with pltpu.force_tpu_interpret_mode():
         fp, fm, fv, floss = fused_train_step(
-            params, zeros, zeros, x, y, mask, lr, step, mspec, dim_out
+            params, zeros, zeros, x, y, mask, lr, step, mspec, dim_out, tile=TILE
         )
     rp, rm, rv, rloss = reference_train_step(
         params, zeros, zeros, x, y, mask, lr, step, mspec, dim_out
@@ -93,3 +94,42 @@ def test_fused_respects_mask():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(p1.weights, p2.weights):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_expert_step_matches_per_expert_reference():
+    """Expert-grid kernel == per-expert oracle steps (interpret mode)."""
+    from lbdrn_msic_tpu.models.siren import stack_params, unstack_params
+    from lbdrn_msic_tpu.ops.fused_step import fused_expert_step
+
+    mspec = ModelSpec(base_channel=32, num_layers=2)
+    dim_in, dim_out, B, E = 36, 3, TILE, 3
+    ps, xs, ys = [], [], []
+    for e in range(E):
+        p, zeros, x, y, mask = _setup(mspec, dim_in, dim_out, B, seed=10 + e)
+        ps.append(p); xs.append(x); ys.append(y)
+    paramsE = stack_params(ps)
+    zerosE = jax.tree.map(jnp.zeros_like, paramsE)
+    xE, yE = jnp.stack(xs), jnp.stack(ys)
+    mask = jnp.ones((B,), jnp.float32).at[-7:].set(0.0)
+    lr, step = jnp.float32(1e-3), jnp.int32(1)
+
+    with pltpu.force_tpu_interpret_mode():
+        fp, fm, fv, floss = fused_expert_step(
+            paramsE, zerosE, zerosE, xE, yE, mask, lr, step, mspec, dim_out,
+            tile=TILE // 2,
+        )
+    for e in range(E):
+        z1 = jax.tree.map(jnp.zeros_like, ps[e])
+        rp, rm, rv, rloss = reference_train_step(
+            ps[e], z1, z1, xs[e], ys[e], mask, lr, step, mspec, dim_out
+        )
+        np.testing.assert_allclose(float(floss[e]), float(rloss), rtol=1e-5)
+        pe = unstack_params(fp, e)
+        for a, b in zip(pe.weights, rp.weights):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
+        for a, b in zip(pe.biases, rp.biases):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            )
