@@ -69,7 +69,40 @@ class DecodeStats:
     header: StreamHeader
 
 
-STAGE_BUDGET_BYTES = 8 << 30  # tap-matrix staging budget per tile
+STAGE_BUDGET_BYTES = 8 << 30  # tap staging budget per tile
+
+
+def _staging_bytes(H: int, W: int, C: int, fspec, g: int, tap_dt, raw_dt):
+    """(full, banded) staged-bytes estimates for one tile."""
+    from lbdrn_msic_tpu.features.engine import banded_geometry
+
+    side = 2 * fspec.D + 1
+    Wg, _ = banded_geometry(W, max(1, g))
+    full = H * W * C * side * side * jnp.dtype(tap_dt).itemsize
+    banded = (H + 2 * fspec.D) * Wg * C * side * jnp.dtype(raw_dt).itemsize
+    return full, banded
+
+
+def pick_staging(H, W, C, max_msb, fspec, tspec):
+    """Choose the batch-construction mode for a tile (see train/loop.py):
+    the full (2D+1)^2 tap matrix when it fits the budget, the banded
+    row-taps path (5x fewer staged bytes — full-size Gaofen scenes live
+    here) when only that fits, scalar gathers as the last resort.
+    Returns (staging, tap_dtype)."""
+    from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
+
+    if not fspec.use_colors:
+        return "gather", jnp.int16
+    tap_dt = tap_matrix_dtype(max_msb, fspec.relative)
+    raw_dt = row_taps_dtype(max_msb)
+    full, banded = _staging_bytes(
+        H, W, C, fspec, tspec.sample_granule, tap_dt, raw_dt
+    )
+    if full <= STAGE_BUDGET_BYTES:
+        return "full", tap_dt
+    if banded <= STAGE_BUDGET_BYTES:
+        return "banded", raw_dt
+    return "gather", tap_dt
 
 
 @functools.partial(jax.jit, static_argnames=("D",))
@@ -105,19 +138,14 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
     plane, plane_scale, labels = _prepare_tile(dev, cfg.K, fspec.D)
     label_scale = jnp.float32(lsb_scale(cfg.K))
 
-    side = 2 * fspec.D + 1
-    dtype = tap_matrix_dtype(max_msb, fspec.relative)
-    staged = (
-        fspec.use_colors
-        and H * W * C * side * side * jnp.dtype(dtype).itemsize <= STAGE_BUDGET_BYTES
-    )
+    staging, dtype = pick_staging(H, W, C, max_msb, fspec, cfg.train)
     # fused Pallas step: single-device TPU only (interpret mode on CPU would
     # be far slower than the XLA path)
     use_fused = jax.default_backend() != "cpu"
     result: FitResult = fit(
         plane, plane_scale, labels, label_scale, key,
         fspec, cfg.model, cfg.train, H, W, C,
-        staged=staged, tap_dtype=jnp.dtype(dtype).name,
+        staging=staging, tap_dtype=jnp.dtype(dtype).name,
         use_fused=use_fused,
     )
 
@@ -324,7 +352,7 @@ def encode_rate_points(
     """
     import concurrent.futures
 
-    from lbdrn_msic_tpu.features.engine import tap_matrix_dtype
+    from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
     from lbdrn_msic_tpu.train.loop import fit_rate_experts
 
     if img.ndim == 2:
@@ -334,14 +362,30 @@ def encode_rate_points(
         return encode_pipelined([(img, c) for c in cfgs], key, header_version)
     cfg0 = cfgs[0]
     fspec = cfg0.features
-    side = 2 * fspec.D + 1
+
+    # pick a uniform staging mode: full tap matrices when every expert's
+    # fits the budget alone, else the banded row-taps path; if even one
+    # banded expert exceeds the budget, the per-job pipeline (which can
+    # fall back to scalar gathers) handles the sweep
+    max_img = int(img.max())
+    tap_dts = [tap_matrix_dtype(max_img >> c.K, fspec.relative) for c in cfgs]
+    raw_dts = [row_taps_dtype(max_img >> c.K) for c in cfgs]
+    sizes = [
+        _staging_bytes(H, W, C, fspec, cfg0.train.sample_granule, td, rd)
+        for td, rd in zip(tap_dts, raw_dts)
+    ]
+    if max(s[0] for s in sizes) <= STAGE_BUDGET_BYTES:
+        staging = "full"
+        dtypes = [jnp.dtype(d) for d in tap_dts]
+        per_expert = [s[0] for s in sizes]
+    elif max(s[1] for s in sizes) <= STAGE_BUDGET_BYTES:
+        staging = "banded"
+        dtypes = [jnp.dtype(d) for d in raw_dts]
+        per_expert = [s[1] for s in sizes]
+    else:
+        return encode_pipelined([(img, c) for c in cfgs], key, header_version)
 
     # chunk the rate points so staged taps fit the device budget
-    max_img = int(img.max())
-    dtypes = [
-        jnp.dtype(tap_matrix_dtype(max_img >> c.K, fspec.relative)) for c in cfgs
-    ]
-    per_expert = [H * W * C * side * side * d.itemsize for d in dtypes]
     groups: List[List[int]] = [[]]
     acc = 0
     for i, b in enumerate(per_expert):
@@ -365,6 +409,7 @@ def encode_rate_points(
                 dev_img, Ks, tkey, fspec, cfg0.model, cfg0.train, H, W, C,
                 tuple(dtypes[i].name for i in grp),
                 use_fused=jax.default_backend() != "cpu",
+                staging=staging,
             )  # dispatched; returns before the TPU finishes
 
             def base_one(K, codec=cfg0.base_codec):

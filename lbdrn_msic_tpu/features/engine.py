@@ -183,6 +183,122 @@ def row_block_features(
     return jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
 
 
+def row_taps_dtype(max_value: int):
+    """Smallest dtype for RAW (not center-subtracted) plane values."""
+    return jnp.uint8 if max_value <= 255 else jnp.uint16
+
+
+def banded_geometry(W: int, g: int) -> Tuple[int, int]:
+    """(Wg, ng_row): width padded to a granule multiple, granules per row."""
+    ng_row = -(-W // g)
+    return ng_row * g, ng_row
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "H", "W", "g", "dtype", "pad_rows_to")
+)
+def build_row_taps(
+    plane: jnp.ndarray,
+    spec: FeatureSpec,
+    H: int,
+    W: int,
+    g: int,
+    dtype=jnp.uint16,
+    pad_rows_to: int | None = None,
+) -> jnp.ndarray:
+    """Banded staging: horizontal-window taps per padded row.
+
+    Returns ``(Hp * ng_row, g * C * side)`` raw (NOT center-subtracted)
+    values, where ``Hp = H + 2D`` and ``ng_row = ceil(W / g)``: row
+    ``r * ng_row + jg`` holds, with inner layout ``(g, C, side)``,
+    ``plane[c, r, jg*g + t + dj]`` for pixel offset ``t < g`` and window
+    column ``dj < side`` (columns beyond ``W`` are zero).
+
+    This is the 5x-image-bytes alternative to the full (2D+1)^2 tap matrix
+    (25x): a pixel's window is re-assembled at batch time from ``side``
+    contiguous row gathers (see banded_window_features), so full-size
+    Gaofen scenes (6000^2 x 8 bands, 7605x7815 x 4) stage in ~1.5-3 GB and
+    never hit the scalar-gather fallback.
+    """
+    C = plane.shape[0]
+    D = spec.D
+    side = 2 * D + 1
+    Hp = H + 2 * D
+    Wg, ng_row = banded_geometry(W, g)
+    R = min(Hp, max(1, (1 << 17) // max(W, 1)))
+    n_blocks = -(-Hp // R)
+    out = jnp.zeros((max(pad_rows_to or 0, Hp * ng_row), g * C * side), dtype)
+
+    def body(out, b):
+        r0 = jnp.minimum(b * R, Hp - R)
+        block = jax.lax.dynamic_slice(plane, (0, r0, 0), (C, R, W + 2 * D))
+        cols = jnp.stack(
+            [jax.lax.slice(block, (0, 0, dj), (C, R, dj + W)) for dj in range(side)],
+            axis=-1,
+        )  # (C, R, W, side)
+        arr = jnp.transpose(cols, (1, 2, 0, 3))  # (R, W, C, side)
+        if Wg > W:
+            arr = jnp.pad(arr, ((0, 0), (0, Wg - W), (0, 0), (0, 0)))
+        arr = arr.reshape(R * ng_row, g * C * side).astype(dtype)
+        return jax.lax.dynamic_update_slice(out, arr, (r0 * ng_row, 0)), None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(n_blocks))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "g"))
+def banded_window_features(
+    row_taps: jnp.ndarray,
+    scale: jnp.ndarray,
+    gidx: jnp.ndarray,
+    spec: FeatureSpec,
+    H: int,
+    W: int,
+    g: int,
+) -> jnp.ndarray:
+    """Banded path: features for granule ids over the W-padded grid.
+
+    gidx: (m,) granule ids in [0, H * ng_row).  Returns (m * g, feature_dim)
+    float32 — bit-identical to the staged/slice/gather paths for in-image
+    pixels (padded columns j >= W produce zero-tap rows; callers mask them).
+    """
+    D = spec.D
+    side = 2 * D + 1
+    _, ng_row = banded_geometry(W, g)
+    C = row_taps.shape[-1] // (g * side)
+    m = gidx.shape[0]
+    i = gidx // ng_row
+    jg = gidx % ng_row
+    rows = (i[:, None] + jnp.arange(side)[None, :]) * ng_row + jg[:, None]
+    taps = row_taps[rows.reshape(-1)].reshape(m, side, g, C, side)
+    taps = jnp.transpose(taps, (0, 2, 3, 1, 4)).astype(jnp.int32)  # (m,g,C,di,dj)
+    if spec.relative and D > 0:
+        taps = taps - taps[:, :, :, D, D][:, :, :, None, None]
+    colors = taps.reshape(m * g, C * side * side).astype(jnp.float32) * scale
+    if not spec.use_coords:
+        return colors
+    jj = (jg * g)[:, None] + jnp.arange(g)[None, :]  # (m, g); may exceed W-1 in pad
+    ii = jnp.broadcast_to(i[:, None], jj.shape)
+    coords = _coord_features(ii.reshape(-1), jj.reshape(-1), H, W, spec)
+    return jnp.concatenate([coords, colors], axis=-1)
+
+
+def build_banded_labels(
+    labels: jnp.ndarray, H: int, W: int, g: int, pad_rows_to: int | None = None
+) -> jnp.ndarray:
+    """(H*W, C) label matrix -> (H*ng_row, g*C) granule-row matrix, zero in
+    the W-padding columns (masked out by the training loop)."""
+    C = labels.shape[-1]
+    Wg, ng_row = banded_geometry(W, g)
+    out = labels.reshape(H, W, C)
+    if Wg > W:
+        out = jnp.pad(out, ((0, 0), (0, Wg - W), (0, 0)))
+    out = out.reshape(H * ng_row, g * C)
+    if pad_rows_to is not None and pad_rows_to > out.shape[0]:
+        out = jnp.pad(out, ((0, pad_rows_to - out.shape[0]), (0, 0)))
+    return out
+
+
 def tap_matrix_dtype(max_value: int, relative: bool):
     """Smallest integer dtype that holds every possible tap value.
 

@@ -54,7 +54,7 @@ def fit_dp(
     H: int,
     W: int,
     C: int,
-    staged: bool = True,
+    staging: str = "full",
     tap_dtype: str = "int16",
 ) -> FitResult:
     """Data-parallel fit of ONE tile over the mesh's "dp" axis.
@@ -66,7 +66,7 @@ def fit_dp(
     body = functools.partial(
         fit_core,
         fspec=fspec, mspec=mspec, tspec=tspec,
-        H=H, W=W, C=C, staged=staged, tap_dtype=tap_dtype,
+        H=H, W=W, C=C, staging=staging, tap_dtype=tap_dtype,
         axis_name="dp", axis_size=dp,
     )
     shardmapped = jax.shard_map(
@@ -92,7 +92,7 @@ def fit_experts(
     H: int,
     W: int,
     C: int,
-    staged: bool = True,
+    staging: str = "full",
     tap_dtype: str = "int16",
 ) -> FitResult:
     """Train E independent same-shaped experts, one per "ep" shard.
@@ -104,7 +104,7 @@ def fit_experts(
     """
     body = functools.partial(
         fit_core, fspec=fspec, mspec=mspec, tspec=tspec, H=H, W=W, C=C,
-        staged=staged, tap_dtype=tap_dtype,
+        staging=staging, tap_dtype=tap_dtype,
     )
     vfit = jax.vmap(body, in_axes=(0, 0, 0, 0, 0))
     shard = NamedSharding(mesh, P("ep"))

@@ -38,6 +38,10 @@ import optax
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
     _coord_features,
+    banded_geometry,
+    banded_window_features,
+    build_banded_labels,
+    build_row_taps,
     build_tap_matrix,
     gather_features,
     gather_labels,
@@ -137,7 +141,7 @@ def fit_core(
     H: int,
     W: int,
     C: int,
-    staged: bool = True,
+    staging: str = "full",
     tap_dtype: str = "int16",
     axis_name: str | None = None,
     axis_size: int = 1,
@@ -147,6 +151,15 @@ def fit_core(
 
     plane: (C, H+2D, W+2D) uint16 padded base plane; plane_scale: 1/max.
     labels: (H*W, C) uint16 LSB matrix; label_scale: 1/(2^K-1).
+
+    `staging` selects how training batches are built (features/engine.py):
+    - "full": the (2D+1)^2 tap matrix (25x image bytes, one row gather/step),
+    - "banded": per-row horizontal taps (5x image bytes, `side` contiguous
+      row gathers/step) — the fast path for full-size Gaofen scenes whose
+      full tap matrix exceeds the staging budget; `tap_dtype` is the RAW
+      plane dtype (uint8/uint16) here,
+    - "gather": scalar-gather fallback (no staging; also the coords-only
+      path).
 
     With `axis_name`/`axis_size` set this body runs inside shard_map over a
     data-parallel mesh axis: each device trains on its 1/axis_size slice of
@@ -158,6 +171,10 @@ def fit_core(
     (DP needs the psum between grads and Adam) and requires the batch to be
     a multiple of its tile size.
     """
+    if staging not in ("full", "banded", "gather"):
+        raise ValueError(f"unknown staging mode {staging!r}")
+    if staging != "gather" and not fspec.use_colors:
+        staging = "gather"  # coords-only features have nothing to stage
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     n = H * W
@@ -166,11 +183,20 @@ def fit_core(
         bs = max(axis_size, bs - bs % axis_size)  # keep shards equal-sized
     # sampling granule: shuffle g-pixel runs instead of single pixels
     # (g=1 == reference semantics); see TrainSpec.sample_granule
-    g = tspec.sample_granule if (staged and fspec.use_colors) else 1
+    g = tspec.sample_granule if staging != "gather" else 1
     if g > 1 and (bs % g or bs // axis_size % g):
         g = 1
-    n_g = -(-n // g)  # granule count
-    n_rows = n_g * g
+    side = 2 * fspec.D + 1
+    n_colors = fspec.num_color_features(C)
+    if staging == "banded":
+        # granule grid is W-padded: granules never cross a row boundary
+        Wg, ng_row = banded_geometry(W, g)
+        n_g = H * ng_row
+        n_rows = n_g * g
+    else:
+        ng_row = 0
+        n_g = -(-n // g)  # granule count (flat runs; may cross rows)
+        n_rows = n_g * g
     bs_local = bs // axis_size
     bpg_local = bs_local // g  # granules per local batch
     steps_per_epoch = -(-n_g // (bs // g))
@@ -178,18 +204,20 @@ def fit_core(
     block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
     me = jax.lax.axis_index(axis_name) if axis_name else 0
 
-    taps = (
-        build_tap_matrix(
+    taps = row_taps = None
+    if staging == "full":
+        taps = build_tap_matrix(
             plane, fspec, H, W, jnp.dtype(tap_dtype), pad_rows_to=n_rows
         )
-        if (staged and fspec.use_colors)
-        else None
-    )
-    if g > 1:
-        n_colors = fspec.num_color_features(C)
-        taps_g = taps.reshape(n_g, g * n_colors)
-        labels_pad = jnp.pad(labels, ((0, n_rows - n), (0, 0))) if n_rows > n else labels
-        labels_g = labels_pad.reshape(n_g, g * C)
+        if g > 1:
+            taps_g = taps.reshape(n_g, g * n_colors)
+            labels_pad = (
+                jnp.pad(labels, ((0, n_rows - n), (0, 0))) if n_rows > n else labels
+            )
+            labels_g = labels_pad.reshape(n_g, g * C)
+    elif staging == "banded":
+        row_taps = build_row_taps(plane, fspec, H, W, g, jnp.dtype(tap_dtype))
+        labels_g = build_banded_labels(labels, H, W, g)
 
     if use_fused:
         from lbdrn_msic_tpu.ops.fused_step import pick_tile
@@ -215,6 +243,21 @@ def fit_core(
 
     def make_batch(gidx):
         """granule ids (bpg_local,) -> (x, y, mask) for the local batch."""
+        if staging == "banded":
+            gvalid = gidx < n_g
+            gi = jnp.clip(gidx, 0, n_g - 1)
+            jj = (gi % ng_row * g)[:, None] + jnp.arange(g)[None, :]
+            mask = (gvalid[:, None] & (jj < W)).reshape(-1).astype(jnp.float32)
+            x = pad_features(
+                banded_window_features(
+                    row_taps, plane_scale, gi, fspec, H, W, g
+                ),
+                padded_in,
+            )
+            y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(
+                bs_local, C
+            )
+            return x, y, mask
         if g == 1:
             mask = (gidx < n).astype(jnp.float32)
             idx = jnp.clip(gidx, 0, n - 1)
@@ -337,7 +380,8 @@ def fit_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes", "use_fused"
+        "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes",
+        "use_fused", "staging",
     ),
 )
 def fit_rate_experts(
@@ -352,6 +396,7 @@ def fit_rate_experts(
     C: int,
     tap_dtypes: tuple,
     use_fused: bool = False,
+    staging: str = "full",
 ) -> FitResult:
     """Train one network per rate point K — all E=len(Ks) experts batched in
     ONE jitted program on ONE chip.
@@ -374,16 +419,30 @@ def fit_rate_experts(
     in its own minimal dtype.
 
     Returns a FitResult whose leaves carry a leading E axis.
+
+    `staging` is "full" (the (2D+1)^2 tap matrix per expert) or "banded"
+    (per-row horizontal taps, 5x fewer staged bytes — the path for
+    full-size Gaofen scenes; `tap_dtypes` are RAW plane dtypes there).
+    This loop is staged-only: it has no gather fallback, so it requires
+    color features (callers: codec._experts_compatible).
     """
+    assert fspec.use_colors, "fit_rate_experts is staged-only (needs colors)"
+    if staging not in ("full", "banded"):
+        raise ValueError(f"unknown staging mode {staging!r}")
     E = len(Ks)
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     n = H * W
     bs = min(tspec.batch_size, n)
-    g = tspec.sample_granule if fspec.use_colors else 1
+    g = tspec.sample_granule
     if g > 1 and bs % g:
         g = 1
-    n_g = -(-n // g)
+    if staging == "banded":
+        Wg, ng_row = banded_geometry(W, g)
+        n_g = H * ng_row
+    else:
+        ng_row = 0
+        n_g = -(-n // g)
     n_rows = n_g * g
     bpg = bs // g
     steps_per_epoch = -(-n_g // bpg)
@@ -391,18 +450,23 @@ def fit_rate_experts(
     block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
     n_colors = fspec.num_color_features(C)
 
-    # per-expert staging: padded plane, scale, tap matrix
-    planes, scales, lscales, taps_g = [], [], [], []
+    # per-expert staging: padded plane, scale, tap matrix / row taps
+    planes, scales, lscales, taps_g, row_taps = [], [], [], [], []
     for e in range(E):
         msb, _ = split_msb_lsb(img, jnp.asarray(Ks[e], jnp.int32))
         plane, scale = pad_plane(msb, fspec.D)
         planes.append(plane)
         scales.append(scale)
         lscales.append(jnp.float32(lsb_scale(Ks[e])))
-        taps = build_tap_matrix(
-            plane, fspec, H, W, jnp.dtype(tap_dtypes[e]), pad_rows_to=n_rows
-        )
-        taps_g.append(taps.reshape(n_g, g * n_colors))
+        if staging == "banded":
+            row_taps.append(
+                build_row_taps(plane, fspec, H, W, g, jnp.dtype(tap_dtypes[e]))
+            )
+        else:
+            taps = build_tap_matrix(
+                plane, fspec, H, W, jnp.dtype(tap_dtypes[e]), pad_rows_to=n_rows
+            )
+            taps_g.append(taps.reshape(n_g, g * n_colors))
     planes = jnp.stack(planes)  # (E, C, H+2D, W+2D) uint16
     scales = jnp.stack(scales)
     lscales = jnp.stack(lscales)
@@ -410,9 +474,12 @@ def fit_rate_experts(
 
     # shared label storage: raw image rows; LSB_K = row & (2^K - 1)
     raw = jnp.transpose(img.reshape(C, -1), (1, 0)).astype(jnp.uint16)
-    if n_rows > n:
-        raw = jnp.pad(raw, ((0, n_rows - n), (0, 0)))
-    raw_g = raw.reshape(n_g, g * C)
+    if staging == "banded":
+        raw_g = build_banded_labels(raw, H, W, g)
+    else:
+        if n_rows > n:
+            raw = jnp.pad(raw, ((0, n_rows - n), (0, 0)))
+        raw_g = raw.reshape(n_g, g * C)
 
     key, init_key = jax.random.split(key)
     # same init key per expert == per-job init (jobs share the seed)
@@ -434,20 +501,35 @@ def fit_rate_experts(
         opt = optax.adam(schedule)
         opt_state = opt.init(paramsE)
 
+    fspec_nc = dataclasses.replace(fspec, use_coords=False)
+
     def make_batch(gidx):
         """shared granule ids -> x (E, bs, padded_in), y (E, bs, C), mask (bs,)."""
         gvalid = gidx < n_g
         gi = jnp.clip(gidx, 0, n_g - 1)
-        pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
-        mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
-        xs = [
-            (taps_g[e][gi].astype(jnp.float32) * scales[e]).reshape(bs, n_colors)
-            for e in range(E)
-        ]
+        if staging == "banded":
+            jj2d = (gi % ng_row * g)[:, None] + jnp.arange(g)[None, :]
+            ii2d = jnp.broadcast_to((gi // ng_row)[:, None], jj2d.shape)
+            mask = (gvalid[:, None] & (jj2d < W)).reshape(-1).astype(jnp.float32)
+            xs = [
+                banded_window_features(
+                    row_taps[e], scales[e], gi, fspec_nc, H, W, g
+                )
+                for e in range(E)
+            ]
+        else:
+            pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
+            ii2d, jj2d = pix2d // W, pix2d % W
+            mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+            xs = [
+                (taps_g[e][gi].astype(jnp.float32) * scales[e]).reshape(bs, n_colors)
+                for e in range(E)
+            ]
         x = jnp.stack(xs)  # (E, bs, n_colors)
         if fspec.use_coords:
-            pix = pix2d.reshape(-1)
-            coords = _coord_features(pix // W, pix % W, H, W, fspec)
+            coords = _coord_features(
+                ii2d.reshape(-1), jj2d.reshape(-1), H, W, fspec
+            )
             x = jnp.concatenate(
                 [jnp.broadcast_to(coords, (E, *coords.shape)), x], axis=-1
             )
@@ -576,7 +658,7 @@ def fit_rate_experts(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fspec", "mspec", "tspec", "H", "W", "C", "staged", "tap_dtype", "use_fused"
+        "fspec", "mspec", "tspec", "H", "W", "C", "staging", "tap_dtype", "use_fused"
     ),
 )
 def fit(
@@ -591,13 +673,13 @@ def fit(
     H: int,
     W: int,
     C: int,
-    staged: bool = True,
+    staging: str = "full",
     tap_dtype: str = "int16",
     use_fused: bool = False,
 ) -> FitResult:
     """Single-device fit (see fit_core)."""
     return fit_core(
         plane, plane_scale, labels, label_scale, key,
-        fspec, mspec, tspec, H, W, C, staged, tap_dtype,
+        fspec, mspec, tspec, H, W, C, staging, tap_dtype,
         use_fused=use_fused,
     )

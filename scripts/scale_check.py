@@ -25,18 +25,31 @@ def main() -> int:
     p.add_argument("--channels", type=int, nargs="+", default=[4, 8])
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--granule", type=int, default=8)
+    p.add_argument("--K", type=int, nargs="+", default=[5])
+    p.add_argument(
+        "--flagship", action="store_true",
+        help="run the real Gaofen scene shapes instead of --sizes/--channels: "
+             "GF-6 WFI 6000x6000x8 and GF-2 7815x7605x4 (BASELINE.md)",
+    )
     args = p.parse_args()
 
-    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image, pick_staging
     from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
     from lbdrn_msic_tpu.eval.metrics import psnr
     from lbdrn_msic_tpu.utils.synth import synth_scene
 
-    for c in args.channels:
-        for size in args.sizes:
-            img = synth_scene(size, size, channels=c, effective_bits=12, seed=7)
-            cfg = CodecConfig(
-                K=5, train=TrainSpec(epochs=args.epochs, sample_granule=args.granule)
+    if args.flagship:
+        shapes = [(6000, 6000, 8), (7815, 7605, 4)]
+    else:
+        shapes = [(s, s, c) for c in args.channels for s in args.sizes]
+
+    tspec = TrainSpec(epochs=args.epochs, sample_granule=args.granule)
+    for (h, w, c) in shapes:
+        img = synth_scene(h, w, channels=c, effective_bits=12, seed=7)
+        for K in args.K:
+            cfg = CodecConfig(K=K, train=tspec)
+            staging, _ = pick_staging(
+                h, w, c, int(img.max()) >> K, cfg.features, tspec
             )
             t0 = time.time()
             stream, stats = encode_image(img, cfg)
@@ -47,12 +60,15 @@ def main() -> int:
             t0 = time.time()
             rec, _ = decode_stream(stream)
             t_dec = time.time() - t0
-            ok = np.array_equal(rec >> 5, img >> 5)
+            ok = np.array_equal(rec >> K, img >> K)
             print(
-                f"{size}x{size}x{c}: encode {t_enc:.2f}s "
-                f"({size*size/1e6/t_enc:.2f} Mpx/s) decode {t_dec:.2f}s | "
+                f"{h}x{w}x{c} K={K} [{staging}]: encode {t_enc:.2f}s "
+                f"({h*w/1e6/t_enc:.2f} Mpx/s) decode {t_dec:.2f}s "
+                f"({h*w/1e6/t_dec:.2f} Mpx/s) | "
                 f"PSNR {psnr(img, rec):.2f} bpsp {stats.bpsp:.3f} | "
-                f"msb-lossless={ok} (cold {t_cold:.1f}s)",
+                f"msb-lossless={ok} (cold {t_cold:.1f}s, "
+                f"train {stats.tiles[0].train_time:.2f}s "
+                f"base {stats.tiles[0].base_time:.2f}s)",
                 flush=True,
             )
             assert ok

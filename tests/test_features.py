@@ -142,6 +142,53 @@ def test_staged_path_bitexact_vs_slice_and_gather(small_scene, dtype):
     np.testing.assert_array_equal(sliced, staged2)
 
 
+@pytest.mark.parametrize("g", [1, 8])
+@pytest.mark.parametrize(
+    "spec",
+    [FeatureSpec(), FeatureSpec(relative=False), FeatureSpec(use_coords=True)],
+    ids=["rel-D2", "abs-D2", "coords+colors"],
+)
+def test_banded_path_bitexact_vs_gather(small_scene, spec, g):
+    """The banded row-taps path must be bit-identical to the gather path
+    for every in-image pixel, including ragged last-granule columns."""
+    K = 5
+    C, H, W = small_scene.shape
+    plane, scale, _ = _prep(small_scene, K, spec.D)
+    dt = engine.row_taps_dtype(int(small_scene.max()) >> K)
+    row_taps = engine.build_row_taps(plane, spec, H, W, g, dt)
+    Wg, ng_row = engine.banded_geometry(W, g)
+    assert row_taps.shape == ((H + 2 * spec.D) * ng_row, g * C * (2 * spec.D + 1))
+
+    rng = np.random.default_rng(2)
+    gidx = rng.permutation(H * ng_row)[:300].astype(np.int32)
+    banded = np.asarray(
+        engine.banded_window_features(
+            row_taps, scale, jnp.asarray(gidx), spec, H, W, g
+        )
+    )
+    ii = gidx // ng_row
+    jj = (gidx % ng_row * g)[:, None] + np.arange(g)[None, :]
+    valid = (jj < W).reshape(-1)
+    flat = (ii[:, None] * W + np.minimum(jj, W - 1)).reshape(-1).astype(np.int32)
+    gathered = np.asarray(
+        engine.gather_features(plane, scale, jnp.asarray(flat), spec, H, W)
+    )
+    np.testing.assert_array_equal(banded[valid], gathered[valid])
+
+
+def test_banded_labels_layout(small_scene):
+    K = 4
+    C, H, W = small_scene.shape
+    _, _, labels = _prep(small_scene, K, 2)
+    g = 8
+    Wg, ng_row = engine.banded_geometry(W, g)
+    lb = np.asarray(engine.build_banded_labels(labels, H, W, g))
+    assert lb.shape == (H * ng_row, g * C)
+    want = np.zeros((H, Wg, C), np.uint16)
+    want[:, :W] = np.asarray(labels).reshape(H, W, C)
+    np.testing.assert_array_equal(lb, want.reshape(H * ng_row, g * C))
+
+
 def test_tap_matrix_dtype_selection():
     assert engine.tap_matrix_dtype(127, True) == jnp.int8
     assert engine.tap_matrix_dtype(128, True) == jnp.int16

@@ -100,14 +100,58 @@ def test_staged_and_gather_modes_agree():
     plane, scale, labels, lscale, H, W, C = _prep(seed=7)
     key = jax.random.PRNGKey(3)
     a = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C,
-            staged=True, tap_dtype="int16")
+            staging="full", tap_dtype="int16")
     b = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, TSPEC, H, W, C,
-            staged=False)
+            staging="gather")
     np.testing.assert_allclose(
         np.asarray(a.epoch_losses), np.asarray(b.epoch_losses), rtol=1e-5
     )
     for wa, wb in zip(a.params.weights, b.params.weights):
         np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
+
+
+def test_banded_matches_full_when_rows_divide():
+    """W % g == 0 makes the banded granule grid identical to the flat one:
+    the banded fit must reproduce the full-staged fit bit-for-bit (same
+    permutations, same batches, bit-identical features)."""
+    import dataclasses
+
+    plane, scale, labels, lscale, H, W, C = _prep(seed=13)  # W=40, g=8 divides
+    ts = dataclasses.replace(TSPEC, sample_granule=8)
+    key = jax.random.PRNGKey(5)
+    a = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts, H, W, C,
+            staging="full", tap_dtype="int16")
+    b = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts, H, W, C,
+            staging="banded", tap_dtype="uint16")
+    np.testing.assert_array_equal(
+        np.asarray(a.epoch_losses), np.asarray(b.epoch_losses)
+    )
+    for wa, wb in zip(a.params.weights, b.params.weights):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(
+        np.asarray(a.best_mse), np.asarray(b.best_mse)
+    )
+
+
+def test_banded_with_ragged_rows():
+    """W % g != 0: the banded grid pads each row to a granule multiple and
+    masks the padding; training must stay finite and converge like g=1."""
+    import dataclasses
+
+    img = synth_scene(50, 42, channels=2, seed=21)  # W=42, g=8 -> ragged
+    msb, lsb = split_msb_lsb(jnp.asarray(img), 5)
+    plane, scale = pad_plane(msb, FSPEC.D)
+    labels = build_label_matrix(lsb)
+    lscale = jnp.float32(lsb_scale(5))
+    ts = TrainSpec(epochs=4, batch_size=1024, sample_granule=8)
+    ts1 = TrainSpec(epochs=4, batch_size=1024)
+    key = jax.random.PRNGKey(17)
+    rb = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts, 50, 42, 2,
+             staging="banded", tap_dtype="uint16")
+    r1 = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts1, 50, 42, 2)
+    mb, m1 = float(rb.best_mse), float(r1.best_mse)
+    assert np.isfinite(mb)
+    assert abs(mb - m1) < 0.25 * m1, (m1, mb)
 
 
 def test_sample_granule_mode():
