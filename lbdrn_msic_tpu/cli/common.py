@@ -11,6 +11,13 @@ def add_codec_args(p: argparse.ArgumentParser, encode: bool = True):
     """Flag set mirrors reference encode.py:168-196 plus the switches the
     reference keeps in constants.py (here first-class and header-carried)."""
     p.add_argument("--seed", type=int, default=19920517)
+    p.add_argument(
+        "--mesh", type=str, default=None, metavar="AXES",
+        help="device mesh spec, e.g. 'dp=4', 'ep=8' or 'dp=2,ep=4': dp trains "
+             "each tile data-parallel (psum grads over ICI) and row-shards "
+             "decode with a halo exchange; ep fans independent K-rate experts "
+             "out across devices (sweep --batch-experts)",
+    )
     if encode:
         p.add_argument("-rn", "--randomness", action="store_true",
                        help="allow nondeterministic training (reference -rn)")
@@ -36,6 +43,23 @@ def add_codec_args(p: argparse.ArgumentParser, encode: bool = True):
         p.add_argument("--base-codec", choices=["jp2", "lpc"], default="jp2")
         p.add_argument("--weight-codec", choices=["fpz", "raw16"], default="fpz")
         p.add_argument("--header-version", type=int, choices=[0, 1], default=1)
+
+
+def mesh_from_args(args):
+    """Parse --mesh 'dp=N[,ep=M]' into a Mesh (None when the flag is unset)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    axes = {"dp": 1, "ep": 1}
+    for part in spec.split(","):
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if name not in axes or not val.strip().isdigit():
+            raise SystemExit(f"bad --mesh axis {part!r} (want dp=N / ep=N)")
+        axes[name] = int(val)
+    from lbdrn_msic_tpu.parallel.shard import make_mesh
+
+    return make_mesh(dp=axes["dp"], ep=axes["ep"])
 
 
 def config_from_args(args) -> CodecConfig:

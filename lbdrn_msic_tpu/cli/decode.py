@@ -30,8 +30,11 @@ def main(argv=None) -> int:
     p.add_argument("--keep-recon", action="store_true",
                    help="keep the reconstruction tif even when -org is given "
                         "(the reference deletes it, decode.py:223)")
-    p.add_argument("--seed", type=int, default=19920517)
+    from lbdrn_msic_tpu.cli.common import add_codec_args, mesh_from_args
+
+    add_codec_args(p, encode=False)
     args = p.parse_args(argv)
+    mesh = mesh_from_args(args)
 
     dirname = os.path.dirname(args.bin_path) or "."
     stem = os.path.splitext(os.path.basename(args.bin_path))[0]
@@ -44,7 +47,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     with open(args.bin_path, "rb") as f:
         stream = f.read()
-    rec, dstats = decode_stream(stream)
+    rec, dstats = decode_stream(stream, mesh=mesh)
     recon_path = os.path.join(dirname, f"{stem}_recon.tif")
     write_tiff(recon_path, rec)
     log.info(f"Recon: {recon_path}")

@@ -20,7 +20,7 @@ import time
 
 import jax
 
-from lbdrn_msic_tpu.cli.common import add_codec_args, config_from_args
+from lbdrn_msic_tpu.cli.common import add_codec_args, config_from_args, mesh_from_args
 from lbdrn_msic_tpu.codec import encode_image
 from lbdrn_msic_tpu.io.tiff import read_tiff
 from lbdrn_msic_tpu.utils.logging import RunLogger, run_is_complete
@@ -56,7 +56,8 @@ def main(argv=None) -> int:
         key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "big"))
     stream, stats = encode_image(img, cfg, key=key,
                                  header_version=args.header_version,
-                                 collect_curves=args.tensorboard)
+                                 collect_curves=args.tensorboard,
+                                 mesh=mesh_from_args(args))
     write_encode_outputs(log, bin_path, stem, stream, stats, t0,
                          tensorboard=args.tensorboard,
                          out_dir=out_dir)

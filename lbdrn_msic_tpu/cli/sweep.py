@@ -35,11 +35,26 @@ def main(argv=None) -> int:
                         "batched experts in one device program "
                         "(codec.encode_rate_points): fastest sweep mode; streams "
                         "are RD-equivalent (not byte-identical) to per-job runs")
+    p.add_argument("--hosts", type=int, default=1,
+                   help="partition the (image, K) job list across N cooperating "
+                        "processes writing to a shared filesystem — the "
+                        "reference's run.sh shell fan-out (run.sh:29-40) made "
+                        "first-class; per-run resume markers keep it idempotent")
+    p.add_argument("--host-id", type=int, default=None,
+                   help="this process's 0-based index among --hosts (default: "
+                        "jax.process_index(), so --distributed fills it in)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed from "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID and take --hosts/--host-id from the "
+                        "runtime")
     add_codec_args(p, encode=True)
     args = p.parse_args(argv)
 
     if args.pipeline or args.batch_experts:
         return _pipelined_sweep(args)
+
+    sched = _scheduler_from_args(args)
 
     base_flags = []
     for flag, val in [
@@ -59,38 +74,80 @@ def main(argv=None) -> int:
     ]:
         if on:
             base_flags.append(flag)
+    if args.mesh:
+        base_flags += ["--mesh", args.mesh]
 
     from lbdrn_msic_tpu.cli.common import config_from_args
 
-    for path in args.paths:
+    grid = [
+        (path, K)
+        for path in args.paths
+        for K in range(args.k_min, args.k_max + 1)
+    ]
+    for path, K in sched.mine(grid):
         stem = os.path.splitext(os.path.basename(path))[0]
-        for K in range(args.k_min, args.k_max + 1):
-            enc_args = ["-i", path, "-o", args.output_dir, "-K", str(K)] + base_flags
-            print(f"[sweep] encode {stem} K={K}")
-            encode_cli.main(enc_args)
-            cfg = dataclasses.replace(config_from_args(args), K=K)
-            run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
-            bin_path = os.path.join(run_dir, f"{stem}.bin")
-            print(f"[sweep] decode {stem} K={K}")
-            decode_cli.main(["-i", bin_path, "-org", path])
+        enc_args = ["-i", path, "-o", args.output_dir, "-K", str(K)] + base_flags
+        print(f"[sweep] encode {stem} K={K}")
+        encode_cli.main(enc_args)
+        cfg = dataclasses.replace(config_from_args(args), K=K)
+        run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
+        bin_path = os.path.join(run_dir, f"{stem}.bin")
+        print(f"[sweep] decode {stem} K={K}")
+        dec_flags = ["--mesh", args.mesh] if args.mesh else []
+        decode_cli.main(["-i", bin_path, "-org", path] + dec_flags)
     return 0
+
+
+def _scheduler_from_args(args):
+    """JobScheduler from --hosts/--host-id/--distributed (reference run.sh's
+    multi-machine fan-out made first-class, SURVEY §2.3 multi-host row)."""
+    from lbdrn_msic_tpu.parallel.distributed import JobScheduler, initialize_cluster
+
+    if getattr(args, "distributed", False):
+        initialize_cluster()
+        return JobScheduler.from_runtime()
+    host_id = args.host_id
+    if host_id is None:
+        import jax
+
+        host_id = jax.process_index() if args.hosts > 1 else 0
+    if not (0 <= host_id < args.hosts):
+        raise SystemExit(f"--host-id {host_id} not in [0, {args.hosts})")
+    return JobScheduler(num_processes=args.hosts, process_id=host_id)
 
 
 def _pipelined_sweep(args) -> int:
     import time
 
-    from lbdrn_msic_tpu.cli.common import config_from_args
+    from lbdrn_msic_tpu.cli.common import config_from_args, mesh_from_args
     from lbdrn_msic_tpu.cli.encode import write_encode_outputs
     from lbdrn_msic_tpu.codec import encode_pipelined
     from lbdrn_msic_tpu.io.tiff import read_tiff
     from lbdrn_msic_tpu.utils.logging import RunLogger, run_is_complete
 
+    sched = _scheduler_from_args(args)
+    # batch-experts batches a whole image's rate points in one program, so
+    # partition by image there; the per-(image, K) pipeline partitions by job
+    if args.batch_experts:
+        my_paths = sched.mine(args.paths)
+        my_jobs = {(p, K) for p in my_paths
+                   for K in range(args.k_min, args.k_max + 1)}
+    else:
+        grid = [(p, K) for p in args.paths
+                for K in range(args.k_min, args.k_max + 1)]
+        my_jobs = set(sched.mine(grid))
+        my_paths = [p for p in args.paths
+                    if any((p, K) in my_jobs
+                           for K in range(args.k_min, args.k_max + 1))]
+
     base_cfg = config_from_args(args)
     jobs, meta = [], []
-    for path in args.paths:
+    for path in my_paths:
         stem = os.path.splitext(os.path.basename(path))[0]
         img = None
         for K in range(args.k_min, args.k_max + 1):
+            if (path, K) not in my_jobs:
+                continue
             cfg = dataclasses.replace(base_cfg, K=K)
             run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
             bin_path = os.path.join(run_dir, f"{stem}.bin")
@@ -105,7 +162,9 @@ def _pipelined_sweep(args) -> int:
         if args.batch_experts:
             from lbdrn_msic_tpu.codec import encode_rate_points
 
-            print(f"[sweep] expert-batched encode of {len(jobs)} jobs")
+            mesh = mesh_from_args(args)
+            print(f"[sweep] expert-batched encode of {len(jobs)} jobs"
+                  + (f" over mesh {dict(mesh.shape)}" if mesh else ""))
             results = []
             i = 0
             while i < len(jobs):  # group contiguous jobs of the same image
@@ -115,6 +174,7 @@ def _pipelined_sweep(args) -> int:
                 results += encode_rate_points(
                     jobs[i][0], [c for _, c in jobs[i:j]],
                     header_version=args.header_version,
+                    mesh=mesh,
                 )
                 i = j
         else:
@@ -128,9 +188,11 @@ def _pipelined_sweep(args) -> int:
             )
             log.close()
 
-    for path in args.paths:
+    for path in my_paths:
         stem = os.path.splitext(os.path.basename(path))[0]
         for K in range(args.k_min, args.k_max + 1):
+            if (path, K) not in my_jobs:
+                continue
             cfg = dataclasses.replace(base_cfg, K=K)
             run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
             print(f"[sweep] decode {stem} K={K}")

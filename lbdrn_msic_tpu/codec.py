@@ -22,7 +22,6 @@ from lbdrn_msic_tpu.codecs.base_layer import decode_base, encode_base
 from lbdrn_msic_tpu.codecs.weights import compress_weights, decompress_weights
 from lbdrn_msic_tpu.core.config import CodecConfig
 from lbdrn_msic_tpu.features.engine import (
-    build_label_matrix,
     lsb_scale,
     pad_plane,
     split_msb_lsb,
@@ -108,21 +107,25 @@ def pick_staging(H, W, C, max_msb, fspec, tspec):
 @functools.partial(jax.jit, static_argnames=("D",))
 def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
     """One fused device program for all training prep: MSB/LSB split,
-    reflect pad + scale, label matrix.  K is traced (one compile per shape,
-    not per rate point)."""
+    reflect pad + scale.  K is traced (one compile per shape, not per rate
+    point).  Labels stay in (C, H, W) plane form — narrow (H*W, C) matrices
+    are lane-padded up to 16x as program inputs on TPU (r2 OOM lesson)."""
     msb, lsb = split_msb_lsb(img, jnp.asarray(K, jnp.int32))
     plane, plane_scale = pad_plane(msb, D)
-    labels = build_label_matrix(lsb)
-    return plane, plane_scale, labels
+    return plane, plane_scale, lsb.astype(jnp.uint16)
 
 
-def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
+def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None):
     """Train one tile's network; returns (flat_fn, msb_fn, fit_result).
 
     Critical-path ordering: the host->device transfer is dispatched first
     (asynchronous), the cheap host-side stats run while it flies, and the
     full MSB plane materialization (`tile >> K`) is deferred into `msb_fn`
     so the base-layer worker thread pays it, not the training path.
+
+    With `mesh` (a Mesh whose "dp" axis is > 1) the overfit loop runs
+    data-parallel over the mesh: each device trains on its slice of every
+    batch, gradients meet in a psum over ICI (parallel/shard.py::fit_dp).
     """
     C, H, W = tile.shape
     fspec = cfg.features
@@ -139,15 +142,24 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array):
     label_scale = jnp.float32(lsb_scale(cfg.K))
 
     staging, dtype = pick_staging(H, W, C, max_msb, fspec, cfg.train)
-    # fused Pallas step: single-device TPU only (interpret mode on CPU would
-    # be far slower than the XLA path)
-    use_fused = jax.default_backend() != "cpu"
-    result: FitResult = fit(
-        plane, plane_scale, labels, label_scale, key,
-        fspec, cfg.model, cfg.train, H, W, C,
-        staging=staging, tap_dtype=jnp.dtype(dtype).name,
-        use_fused=use_fused,
-    )
+    if mesh is not None and mesh.shape.get("dp", 1) > 1:
+        from lbdrn_msic_tpu.parallel.shard import fit_dp
+
+        result: FitResult = fit_dp(
+            mesh, plane, plane_scale, labels, label_scale, key,
+            fspec, cfg.model, cfg.train, H, W, C,
+            staging=staging, tap_dtype=jnp.dtype(dtype).name,
+        )
+    else:
+        # fused Pallas step: single-device TPU only (interpret mode on CPU
+        # would be far slower than the XLA path)
+        use_fused = jax.default_backend() != "cpu"
+        result = fit(
+            plane, plane_scale, labels, label_scale, key,
+            fspec, cfg.model, cfg.train, H, W, C,
+            staging=staging, tap_dtype=jnp.dtype(dtype).name,
+            use_fused=use_fused,
+        )
 
     def flat_fn():
         return flatten_params(result.params, fspec.feature_dim(C))
@@ -161,6 +173,7 @@ def encode_image(
     key: Optional[jax.Array] = None,
     header_version: int = 1,
     collect_curves: bool = False,
+    mesh=None,
 ) -> tuple[bytes, EncodeStats]:
     """img: (C, H, W) uint16 -> (bitstream, stats).
 
@@ -168,6 +181,11 @@ def encode_image(
     the host-side base-layer codec runs in a worker thread while the TPU
     trains — the reference runs these strictly serially
     (reference encode.py:118-155; SURVEY §2.3 "pipeline parallel" row).
+
+    `mesh`: optional jax.sharding.Mesh — a "dp" axis > 1 trains each tile
+    data-parallel over the devices (psum-reduced grads over ICI).  Streams
+    are deterministic but not byte-identical to single-device ones (grad
+    reduction order differs); RD-equivalence is tested.
     """
     import concurrent.futures
 
@@ -183,7 +201,7 @@ def encode_image(
             tkey = jax.random.fold_in(key, tile_idx)
             t1 = time.time()
             # dispatches device training; returns before the TPU finishes
-            flat_fn, msb_fn, result = _train_tile(tile, cfg, tkey)
+            flat_fn, msb_fn, result = _train_tile(tile, cfg, tkey, mesh=mesh)
             base_future = pool.submit(
                 lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
             )
@@ -328,11 +346,114 @@ def _experts_compatible(cfgs: List[CodecConfig]) -> bool:
     )
 
 
+def _encode_rate_points_mesh(
+    img: np.ndarray,
+    cfgs: List[CodecConfig],
+    key: Optional[jax.Array],
+    header_version: int,
+    mesh,
+) -> List[tuple[bytes, EncodeStats]]:
+    """Rate points fanned out as experts over the mesh's "ep" axis: each
+    device trains its own K-rate network(s) independently — the reference's
+    run.sh shell fan-out (reference run.sh:29-40) as one sharded program.
+    Streams are deterministic; RD-equivalent (not byte-identical) to
+    single-device per-job encoding (vmapped matmul reduction order)."""
+    import concurrent.futures
+
+    from lbdrn_msic_tpu.models.siren import flatten_params, unstack_params
+    from lbdrn_msic_tpu.parallel.shard import fit_experts
+
+    C, H, W = img.shape
+    cfg0 = cfgs[0]
+    fspec = cfg0.features
+    ep = mesh.shape["ep"]
+    if key is None:
+        key = jax.random.PRNGKey(cfg0.train.seed)
+    tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
+    E = len(cfgs)
+    Epad = -(-E // ep) * ep  # pad with duplicates so E shards evenly
+    Ks = [c.K for c in cfgs] + [cfgs[-1].K] * (Epad - E)
+
+    t0 = time.time()
+    dev = jnp.asarray(img)
+    planes, scales, labels_l, lscales = [], [], [], []
+    for Kv in Ks:
+        plane, scale, labels = _prepare_tile(dev, Kv, fspec.D)
+        planes.append(plane)
+        scales.append(scale)
+        labels_l.append(labels)
+        lscales.append(jnp.float32(lsb_scale(Kv)))
+
+    # uniform staging across experts (vmap): budget covers the whole stack
+    max_img = int(img.max())
+    staging, dtype = pick_staging(
+        H, W, C, max_img >> min(Ks), fspec, cfg0.train
+    )
+    if staging != "gather":
+        full, banded = _staging_bytes(
+            H, W, C, fspec, cfg0.train.sample_granule, dtype, dtype
+        )
+        per = full if staging == "full" else banded
+        if Epad * per > STAGE_BUDGET_BYTES:
+            staging = (
+                "banded"
+                if Epad * banded <= STAGE_BUDGET_BYTES and fspec.use_colors
+                else "gather"
+            )
+            if staging == "banded":
+                from lbdrn_msic_tpu.features.engine import row_taps_dtype
+
+                dtype = row_taps_dtype(max_img >> min(Ks))
+
+    result = fit_experts(
+        mesh,
+        jnp.stack(planes), jnp.stack(scales),
+        jnp.stack(labels_l), jnp.stack(lscales),
+        jnp.stack([tkey] * Epad),
+        fspec, cfg0.model, cfg0.train, H, W, C,
+        staging=staging, tap_dtype=jnp.dtype(dtype).name,
+    )
+
+    def base_one(K, codec=cfg0.base_codec):
+        msb = img >> K
+        if (max_img >> K) <= 255:
+            msb = msb.astype(np.uint8)
+        return encode_base(msb, codec)
+
+    results: List[tuple[bytes, EncodeStats]] = []
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        base_futs = [pool.submit(base_one, c.K) for c in cfgs]
+        flats = jax.device_get(result.params)  # blocks on training
+        best_mse, best_epoch = jax.device_get((result.best_mse, result.best_epoch))
+        t_train = time.time() - t0
+        for e, cfg in enumerate(cfgs):
+            flat = flatten_params(unstack_params(flats, e), fspec.feature_dim(C))
+            nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+            base = base_futs[e].result()
+            header = header_from_config(
+                cfg, W, H, [len(nn)], [len(base)], version=header_version
+            )
+            stream = encode_header(header) + nn + base
+            stats = EncodeStats(
+                tiles=[TileStats(
+                    nn_bytes=len(nn), base_bytes=len(base),
+                    best_mse=float(best_mse[e]), best_epoch=int(best_epoch[e]),
+                    train_time=t_train / len(cfgs), base_time=0.0,
+                )],
+                total_bytes=len(stream),
+                n_subpixels=C * H * W,
+                elapsed=time.time() - t0,
+            )
+            results.append((stream, stats))
+    return results
+
+
 def encode_rate_points(
     img: np.ndarray,
     cfgs: List[CodecConfig],
     key: Optional[jax.Array] = None,
     header_version: int = 1,
+    mesh=None,
 ) -> List[tuple[bytes, EncodeStats]]:
     """Encode one image at several rate points with expert-batched training.
 
@@ -360,6 +481,8 @@ def encode_rate_points(
     C, H, W = img.shape
     if not _experts_compatible(cfgs):
         return encode_pipelined([(img, c) for c in cfgs], key, header_version)
+    if mesh is not None and mesh.shape.get("ep", 1) > 1:
+        return _encode_rate_points_mesh(img, cfgs, key, header_version, mesh)
     cfg0 = cfgs[0]
     fspec = cfg0.features
 
@@ -450,8 +573,14 @@ def encode_rate_points(
     return results  # type: ignore[return-value]
 
 
-def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
-    """bitstream -> ((C, H, W) uint16 image, stats)."""
+def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
+    """bitstream -> ((C, H, W) uint16 image, stats).
+
+    `mesh`: optional jax.sharding.Mesh — a "dp" axis > 1 reconstructs each
+    tile row-sharded over the devices with a ppermute halo exchange
+    (parallel/halo.py), bit-identical to the single-device decode.  Tiles
+    whose height does not divide over the axis fall back per-tile.
+    """
     t0 = time.time()
     header = decode_header(data)
     ptr = header_size(data)
@@ -463,6 +592,7 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
     # 16-bit image — see decode/reconstruct.py) overlaps later device work
     from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed
 
+    sp = mesh.shape.get("dp", 1) if mesh is not None else 1
     pending = []
     for t in range(header.n_tiles):
         nn = data[ptr : ptr + header.nn_bytes[t]]
@@ -475,7 +605,19 @@ def decode_stream(data: bytes) -> tuple[np.ndarray, DecodeStats]:
         C, th, tw = base.shape
         flat = decompress_weights(nn, header.weight_codec)
         params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
-        pending.append(dispatch_streamed(base, params, fspec, mspec, header.K))
+        if sp > 1 and th % sp == 0 and th // sp > fspec.D:
+            from lbdrn_msic_tpu.parallel.halo import reconstruct_sp
+
+            pending.append(
+                functools.partial(
+                    reconstruct_sp, mesh, jnp.asarray(base), params,
+                    fspec, mspec, header.K,
+                )
+            )
+        else:
+            pending.append(
+                dispatch_streamed(base, params, fspec, mspec, header.K)
+            )
     tiles = [finish() for finish in pending]
     img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
     return img, DecodeStats(elapsed=time.time() - t0, header=header)

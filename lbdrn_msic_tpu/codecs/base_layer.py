@@ -52,7 +52,12 @@ def _encode_jp2(msb: np.ndarray) -> bytes:
             ".jp2", hwc, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
         )
         if not ok:
-            raise RuntimeError("cv2 JPEG2000 encode failed")
+            # OpenJPEG rejects tiles < 32px per side at its resolution depth
+            raise RuntimeError(
+                f"cv2 JPEG2000 encode failed for plane {hwc.shape} "
+                "(tiles must be >= 32px per side; use --base-codec lpc for "
+                "smaller tiles)"
+            )
         return bytes(buf)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=min(8, len(groups))) as pool:

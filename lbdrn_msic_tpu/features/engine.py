@@ -283,20 +283,98 @@ def banded_window_features(
     return jnp.concatenate([coords, colors], axis=-1)
 
 
-def build_banded_labels(
-    labels: jnp.ndarray, H: int, W: int, g: int, pad_rows_to: int | None = None
-) -> jnp.ndarray:
-    """(H*W, C) label matrix -> (H*ng_row, g*C) granule-row matrix, zero in
-    the W-padding columns (masked out by the training loop)."""
-    C = labels.shape[-1]
+def build_banded_labels(lsb: jnp.ndarray, H: int, W: int, g: int) -> jnp.ndarray:
+    """(C, H, W) integer LSB plane -> (H*ng_row, g*C) granule-row label
+    matrix, zero in the W-padding columns (masked out by the training loop).
+
+    Takes the plane (not an (H*W, C) matrix) and transposes block-by-block
+    in a scan: a C-minor intermediate of the full image is catastrophically
+    lane-padded on TPU (C=8 -> a 16x / 8.6 GB HBM copy for a Gaofen WFI
+    scene), so the narrow form must only ever exist per-block."""
+    C = lsb.shape[0]
     Wg, ng_row = banded_geometry(W, g)
-    out = labels.reshape(H, W, C)
-    if Wg > W:
-        out = jnp.pad(out, ((0, 0), (0, Wg - W), (0, 0)))
-    out = out.reshape(H * ng_row, g * C)
-    if pad_rows_to is not None and pad_rows_to > out.shape[0]:
-        out = jnp.pad(out, ((0, pad_rows_to - out.shape[0]), (0, 0)))
+    R = min(H, max(1, (1 << 17) // max(W, 1)))
+    n_full = H // R
+    out = jnp.zeros((H * ng_row, g * C), jnp.uint16)
+
+    def write(out, r0, block):
+        rows = block.shape[1]
+        y = jnp.transpose(block, (1, 2, 0)).astype(jnp.uint16)  # (rows, W, C)
+        if Wg > W:
+            y = jnp.pad(y, ((0, 0), (0, Wg - W), (0, 0)))
+        return jax.lax.dynamic_update_slice(
+            out, y.reshape(rows * ng_row, g * C), (r0 * ng_row, 0)
+        )
+
+    if n_full:
+        def body(out, b):
+            r0 = b * R
+            blk = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, R, W))
+            return write(out, r0, blk), None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_full))
+    if H % R:
+        r0 = n_full * R
+        blk = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, H - r0, W))
+        out = write(out, r0, blk)
     return out
+
+
+def build_granule_labels(lsb: jnp.ndarray, H: int, W: int, g: int) -> jnp.ndarray:
+    """(C, H, W) integer LSB plane -> (ceil(H*W/g), g*C) matrix of flat
+    g-pixel-granule label rows (trailing pixels zero).  Blockwise transpose
+    for the same lane-padding reason as build_banded_labels."""
+    import math
+
+    C = lsb.shape[0]
+    n = H * W
+    n_g = -(-n // g)
+    out = jnp.zeros((n_g, g * C), jnp.uint16)
+    m = g // math.gcd(W, g)
+    R_base = min(H, max(1, (1 << 17) // max(W, 1)))
+    R = max(m, R_base - R_base % m)
+    n_full = H // R
+
+    def write(out, r0, block):
+        rows = block.shape[1] * W
+        y = jnp.transpose(block, (1, 2, 0)).astype(jnp.uint16).reshape(rows, C)
+        if rows % g:
+            y = jnp.pad(y, ((0, g - rows % g), (0, 0)))
+        return jax.lax.dynamic_update_slice(
+            out, y.reshape(-1, g * C), (r0 * W // g, 0)
+        )
+
+    if n_full:
+        def body(out, b):
+            r0 = b * R
+            blk = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, R, W))
+            return write(out, r0, blk), None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_full))
+    if H % R:
+        r0 = n_full * R
+        blk = jax.lax.dynamic_slice(lsb, (0, r0, 0), (C, H - r0, W))
+        out = write(out, r0, blk)
+    return out
+
+
+LABEL_STORE_G = 8  # storage granule for single-pixel label gathers
+
+
+def gather_pixel_labels(store: jnp.ndarray, idx: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Per-pixel label rows from an 8-pixel-granule store.
+
+    store: (ceil(n/8), 8*C) from build_granule_labels(lsb, H, W, 8);
+    idx: (B,) clipped flat pixel ids.  Returns (B, C) uint16.
+
+    A directly-gatherable (n, C) matrix would be lane-padded 128/C-fold on
+    TPU (16x HBM for C=8); gathering the 8-pixel granule row and selecting
+    the member with a masked sum keeps storage at <= 2x the image bytes.
+    """
+    gs = LABEL_STORE_G
+    rows = store[idx // gs].reshape(-1, gs, C)
+    onehot = (idx[:, None] % gs) == jnp.arange(gs)[None, :]
+    return (rows * onehot[:, :, None].astype(rows.dtype)).sum(axis=1)
 
 
 def tap_matrix_dtype(max_value: int, relative: bool):
@@ -315,35 +393,58 @@ def tap_matrix_dtype(max_value: int, relative: bool):
     return jnp.uint16
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "dtype", "pad_rows_to"))
+@functools.partial(jax.jit, static_argnames=("spec", "H", "W", "dtype", "g"))
 def build_tap_matrix(
     plane: jnp.ndarray,
     spec: FeatureSpec,
     H: int,
     W: int,
     dtype=jnp.int16,
-    pad_rows_to: int | None = None,
+    g: int = 1,
 ) -> jnp.ndarray:
-    """Materialize all pixels' integer taps: (H*W, C*(2D+1)^2) `dtype`.
+    """Materialize all pixels' integer taps, grouped into flat g-pixel
+    granules: (ceil(H*W/g), g * C*(2D+1)^2) `dtype` (trailing pixels of the
+    last granule are zero).
 
     Built block-by-block with the slice path (vector ops only); this is the
-    staging step that turns training batches into pure row gathers.
-    `pad_rows_to` rounds the row count up (zero rows) so callers can view
-    the matrix as fixed-size granules.
-    """
+    staging step that turns training batches into pure row gathers.  The
+    output is written directly in its granule-grouped layout — reshaping an
+    (H*W, F) matrix afterwards would materialize a second full-size copy in
+    a different lane-padded tiling (an extra 6.7 GB transient for a Gaofen
+    WFI scene)."""
+    import math
+
     C = plane.shape[0]
     side = 2 * spec.D + 1
     F = C * side * side
-    R = min(H, max(1, (1 << 17) // max(W, 1)))
-    n_blocks = -(-H // R)
-    out = jnp.zeros((max(pad_rows_to or 0, H * W), F), dtype)
+    n_g = -(-H * W // g)
+    out = jnp.zeros((n_g, g * F), dtype)
 
-    def body(out, b):
-        r0 = jnp.minimum(b * R, H - R)
-        taps = _block_taps_int(plane, r0, spec, W, R).astype(dtype)
-        return jax.lax.dynamic_update_slice(out, taps, (r0 * W, 0)), None
+    # block row count aligned so every block starts and ends on a granule
+    # boundary: W * R % g == 0
+    m = g // math.gcd(W, g)
+    R_base = min(H, max(1, (1 << 17) // max(W, 1)))
+    R = max(m, R_base - R_base % m)
+    n_full = H // R
 
-    out, _ = jax.lax.scan(body, out, jnp.arange(n_blocks))
+    def write(out, r0, taps):
+        rows = taps.shape[0]
+        if rows % g:
+            taps = jnp.pad(taps, ((0, g - rows % g), (0, 0)))
+        taps = taps.reshape(-1, g * F)
+        return jax.lax.dynamic_update_slice(out, taps, (r0 * W // g, 0))
+
+    if n_full:
+        def body(out, b):
+            r0 = b * R
+            taps = _block_taps_int(plane, r0, spec, W, R).astype(dtype)
+            return write(out, r0, taps), None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_full))
+    if H % R:
+        r0 = n_full * R
+        taps = _block_taps_int(plane, jnp.int32(r0), spec, W, H - r0).astype(dtype)
+        out = write(out, r0, taps)
     return out
 
 

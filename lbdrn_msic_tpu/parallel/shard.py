@@ -97,7 +97,7 @@ def fit_experts(
 ) -> FitResult:
     """Train E independent same-shaped experts, one per "ep" shard.
 
-    planes: (E, C, H+2D, W+2D); plane_scales: (E,); labels: (E, H*W, C);
+    planes: (E, C, H+2D, W+2D); plane_scales: (E,); labels: (E, C, H, W);
     label_scales: (E,); keys: (E,) PRNG keys.  Returns a FitResult whose
     leaves have a leading E axis.  This is the reference's run.sh sweep
     (K-points / tiles) as a single sharded program.

@@ -39,12 +39,14 @@ from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
     _coord_features,
     banded_geometry,
+    LABEL_STORE_G,
     banded_window_features,
     build_banded_labels,
+    build_granule_labels,
     build_row_taps,
     build_tap_matrix,
     gather_features,
-    gather_labels,
+    gather_pixel_labels,
     lsb_scale,
     pad_plane,
     row_block_features,
@@ -99,10 +101,14 @@ def dataset_mse(
 ) -> jnp.ndarray:
     """Full-image MSE via the slice path (one scan over row blocks).
 
+    `labels` is the (C, H, W) integer LSB plane (2-D (H*W, C) matrices are
+    catastrophically lane-padded as program inputs on TPU — see
+    features/engine.py::build_banded_labels).
+
     Under data parallelism (`axis_name` set, called inside shard_map) the
     row blocks are round-robined over the axis and the SSE is psum-reduced.
     """
-    C = labels.shape[-1]
+    C = labels.shape[0]
     R = block_rows
     n_blocks = -(-H // R)
     me = jax.lax.axis_index(axis_name) if axis_name else 0
@@ -117,7 +123,8 @@ def dataset_mse(
         rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         valid = (rows >= b_safe * R) & (rows < H)  # skip rows a clamped r0 re-reads
         mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
-        y = jax.lax.dynamic_slice(labels, (r0 * W, 0), (R * W, C))
+        yb = jax.lax.dynamic_slice(labels, (0, r0, 0), (C, R, W))
+        y = jnp.transpose(yb.reshape(C, R * W), (1, 0))
         y = y.astype(jnp.float32) * label_scale
         sse = (((pred - y) ** 2) * mask[:, None]).sum()
         sse = jnp.where(b < n_blocks, sse, 0.0)
@@ -150,7 +157,9 @@ def fit_core(
     """Overfit one network to one image tile; everything on device.
 
     plane: (C, H+2D, W+2D) uint16 padded base plane; plane_scale: 1/max.
-    labels: (H*W, C) uint16 LSB matrix; label_scale: 1/(2^K-1).
+    labels: (C, H, W) uint16 raw LSB plane; label_scale: 1/(2^K-1).
+    (The (H*W, C) matrix forms are built fused inside this program — as a
+    program input a C-wide matrix is lane-padded up to 16x on TPU.)
 
     `staging` selects how training batches are built (features/engine.py):
     - "full": the (2D+1)^2 tap matrix (25x image bytes, one row gather/step),
@@ -192,11 +201,9 @@ def fit_core(
         # granule grid is W-padded: granules never cross a row boundary
         Wg, ng_row = banded_geometry(W, g)
         n_g = H * ng_row
-        n_rows = n_g * g
     else:
         ng_row = 0
         n_g = -(-n // g)  # granule count (flat runs; may cross rows)
-        n_rows = n_g * g
     bs_local = bs // axis_size
     bpg_local = bs_local // g  # granules per local batch
     steps_per_epoch = -(-n_g // (bs // g))
@@ -204,20 +211,21 @@ def fit_core(
     block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
     me = jax.lax.axis_index(axis_name) if axis_name else 0
 
-    taps = row_taps = None
+    taps = row_taps = label_store = None
     if staging == "full":
-        taps = build_tap_matrix(
-            plane, fspec, H, W, jnp.dtype(tap_dtype), pad_rows_to=n_rows
-        )
+        taps = build_tap_matrix(plane, fspec, H, W, jnp.dtype(tap_dtype), g=g)
         if g > 1:
-            taps_g = taps.reshape(n_g, g * n_colors)
-            labels_pad = (
-                jnp.pad(labels, ((0, n_rows - n), (0, 0))) if n_rows > n else labels
-            )
-            labels_g = labels_pad.reshape(n_g, g * C)
+            labels_g = build_granule_labels(labels, H, W, g)
     elif staging == "banded":
         row_taps = build_row_taps(plane, fspec, H, W, g, jnp.dtype(tap_dtype))
-        labels_g = build_banded_labels(labels, H, W, g)
+        if g > 1:
+            labels_g = build_banded_labels(labels, H, W, g)
+    if g == 1:
+        # g=1 (any staging; the banded grid == the flat grid then): labels
+        # live in an 8-pixel-granule store, gathered per pixel with a
+        # masked-sum select — a directly-gatherable (n, C) matrix would be
+        # lane-padded 128/C-fold on TPU
+        label_store = build_granule_labels(labels, H, W, LABEL_STORE_G)
 
     if use_fused:
         from lbdrn_msic_tpu.ops.fused_step import pick_tile
@@ -254,22 +262,27 @@ def fit_core(
                 ),
                 padded_in,
             )
-            y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(
-                bs_local, C
-            )
+            if g == 1:
+                y = gather_pixel_labels(label_store, gi, C)
+                y = y.astype(jnp.float32) * label_scale
+            else:
+                y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(
+                    bs_local, C
+                )
             return x, y, mask
         if g == 1:
             mask = (gidx < n).astype(jnp.float32)
             idx = jnp.clip(gidx, 0, n - 1)
             x = pad_features(batch_features(idx), padded_in)
-            y = gather_labels(labels, label_scale, idx)
+            y = gather_pixel_labels(label_store, idx, C)
+            y = y.astype(jnp.float32) * label_scale
             return x, y, mask
         gvalid = gidx < n_g
         gi = jnp.clip(gidx, 0, n_g - 1)
         pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
         mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
         colors = (
-            taps_g[gi].astype(jnp.float32) * plane_scale
+            taps[gi].astype(jnp.float32) * plane_scale
         ).reshape(bs_local, -1)
         if fspec.use_coords:
             from lbdrn_msic_tpu.features.engine import _coord_features
@@ -443,7 +456,6 @@ def fit_rate_experts(
     else:
         ng_row = 0
         n_g = -(-n // g)
-    n_rows = n_g * g
     bpg = bs // g
     steps_per_epoch = -(-n_g // bpg)
     pad_n_g = steps_per_epoch * bpg
@@ -463,23 +475,22 @@ def fit_rate_experts(
                 build_row_taps(plane, fspec, H, W, g, jnp.dtype(tap_dtypes[e]))
             )
         else:
-            taps = build_tap_matrix(
-                plane, fspec, H, W, jnp.dtype(tap_dtypes[e]), pad_rows_to=n_rows
+            taps_g.append(
+                build_tap_matrix(plane, fspec, H, W, jnp.dtype(tap_dtypes[e]), g=g)
             )
-            taps_g.append(taps.reshape(n_g, g * n_colors))
     planes = jnp.stack(planes)  # (E, C, H+2D, W+2D) uint16
     scales = jnp.stack(scales)
     lscales = jnp.stack(lscales)
     kmasks = jnp.asarray([(1 << k) - 1 for k in Ks], jnp.uint16)  # (E,)
 
-    # shared label storage: raw image rows; LSB_K = row & (2^K - 1)
-    raw = jnp.transpose(img.reshape(C, -1), (1, 0)).astype(jnp.uint16)
-    if staging == "banded":
-        raw_g = build_banded_labels(raw, H, W, g)
+    # shared label storage: raw image pixels; LSB_K = pixel & (2^K - 1)
+    raw_store = raw_g = None
+    if g == 1:
+        raw_store = build_granule_labels(img, H, W, LABEL_STORE_G)
+    elif staging == "banded":
+        raw_g = build_banded_labels(img, H, W, g)
     else:
-        if n_rows > n:
-            raw = jnp.pad(raw, ((0, n_rows - n), (0, 0)))
-        raw_g = raw.reshape(n_g, g * C)
+        raw_g = build_granule_labels(img, H, W, g)
 
     key, init_key = jax.random.split(key)
     # same init key per expert == per-job init (jobs share the seed)
@@ -534,7 +545,10 @@ def fit_rate_experts(
                 [jnp.broadcast_to(coords, (E, *coords.shape)), x], axis=-1
             )
         x = pad_features(x, padded_in)
-        rows = raw_g[gi].reshape(bs, C)  # one shared label gather
+        if g == 1:  # one shared label gather either way
+            rows = gather_pixel_labels(raw_store, gi, C)
+        else:
+            rows = raw_g[gi].reshape(bs, C)
         y = (rows[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
         y = y * lscales[:, None, None]
         return x, y, mask
@@ -556,7 +570,8 @@ def fit_rate_experts(
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             valid = (rows >= b * R) & (rows < H)
             m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
-            yr = jax.lax.dynamic_slice(raw, (r0 * W, 0), (R * W, C))
+            yb = jax.lax.dynamic_slice(img, (0, r0, 0), (C, R, W))
+            yr = jnp.transpose(yb.reshape(C, R * W), (1, 0))
             y = (yr[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
             y = y * lscales[:, None, None]
             sse = (((pred - y) ** 2) * m[None, :, None]).sum(axis=(1, 2))

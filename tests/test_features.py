@@ -179,14 +179,37 @@ def test_banded_path_bitexact_vs_gather(small_scene, spec, g):
 def test_banded_labels_layout(small_scene):
     K = 4
     C, H, W = small_scene.shape
-    _, _, labels = _prep(small_scene, K, 2)
+    _, lsb = engine.split_msb_lsb(jnp.asarray(small_scene), K)
     g = 8
     Wg, ng_row = engine.banded_geometry(W, g)
-    lb = np.asarray(engine.build_banded_labels(labels, H, W, g))
+    lb = np.asarray(engine.build_banded_labels(lsb, H, W, g))
     assert lb.shape == (H * ng_row, g * C)
     want = np.zeros((H, Wg, C), np.uint16)
-    want[:, :W] = np.asarray(labels).reshape(H, W, C)
+    want[:, :W] = np.asarray(lsb).transpose(1, 2, 0)
     np.testing.assert_array_equal(lb, want.reshape(H * ng_row, g * C))
+
+
+def test_granule_labels_and_pixel_gather(small_scene):
+    """build_granule_labels groups flat g-pixel label runs; gather_pixel_labels
+    reads single pixels back from the 8-granule store exactly."""
+    K = 5
+    C, H, W = small_scene.shape
+    _, lsb = engine.split_msb_lsb(jnp.asarray(small_scene), K)
+    want = np.asarray(lsb).transpose(1, 2, 0).reshape(H * W, C)
+
+    for g in (1, 8):
+        lg = np.asarray(engine.build_granule_labels(lsb, H, W, g))
+        n_g = -(-H * W // g)
+        assert lg.shape == (n_g, g * C)
+        padded = np.zeros((n_g * g, C), np.uint16)
+        padded[: H * W] = want
+        np.testing.assert_array_equal(lg, padded.reshape(n_g, g * C))
+
+    store = engine.build_granule_labels(lsb, H, W, engine.LABEL_STORE_G)
+    rng = np.random.default_rng(3)
+    idx = rng.permutation(H * W)[:500].astype(np.int32)
+    got = np.asarray(engine.gather_pixel_labels(store, jnp.asarray(idx), C))
+    np.testing.assert_array_equal(got, want[idx])
 
 
 def test_tap_matrix_dtype_selection():

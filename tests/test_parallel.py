@@ -7,7 +7,6 @@ import pytest
 
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
-    build_label_matrix,
     lsb_scale,
     pad_plane,
     split_msb_lsb,
@@ -25,8 +24,7 @@ def _prep(seed=0, K=5, hw=(48, 40), c=2):
     img = synth_scene(*hw, channels=c, seed=seed)
     msb, lsb = split_msb_lsb(jnp.asarray(img), K)
     plane, scale = pad_plane(msb, FSPEC.D)
-    labels = build_label_matrix(lsb)
-    return plane, scale, labels, jnp.float32(lsb_scale(K)), hw[0], hw[1], c
+    return plane, scale, lsb.astype(jnp.uint16), jnp.float32(lsb_scale(K)), hw[0], hw[1], c
 
 
 def test_mesh_shapes():
@@ -67,7 +65,7 @@ def test_fit_experts_shards_independent_jobs():
         p, s = pad_plane(msb, FSPEC.D)
         planes.append(p)
         scales.append(s)
-        labels.append(build_label_matrix(lsb))
+        labels.append(lsb.astype(jnp.uint16))
         lscales.append(jnp.float32(lsb_scale(K)))
     planes = jnp.stack(planes)
     scales = jnp.stack(scales)
@@ -141,7 +139,7 @@ def test_banded_with_ragged_rows():
     img = synth_scene(50, 42, channels=2, seed=21)  # W=42, g=8 -> ragged
     msb, lsb = split_msb_lsb(jnp.asarray(img), 5)
     plane, scale = pad_plane(msb, FSPEC.D)
-    labels = build_label_matrix(lsb)
+    labels = lsb.astype(jnp.uint16)
     lscale = jnp.float32(lsb_scale(5))
     ts = TrainSpec(epochs=4, batch_size=1024, sample_granule=8)
     ts1 = TrainSpec(epochs=4, batch_size=1024)
@@ -154,6 +152,59 @@ def test_banded_with_ragged_rows():
     assert abs(mb - m1) < 0.25 * m1, (m1, mb)
 
 
+def test_encode_image_mesh_dp_roundtrip():
+    """Codec-level mesh wiring: encode_image(mesh=dp4) trains data-parallel
+    and the stream round-trips; RD-equivalent to the single-device stream."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.eval.metrics import psnr
+
+    img = synth_scene(64, 64, channels=2, seed=31)
+    cfg = CodecConfig(K=5, train=TrainSpec(epochs=2, batch_size=1024))
+    mesh = make_mesh(dp=4)
+    stream, stats = encode_image(img, cfg, mesh=mesh)
+    rec, _ = decode_stream(stream)
+    np.testing.assert_array_equal(rec >> 5, img >> 5)
+    solo, _ = encode_image(img, cfg)
+    rec_solo, _ = decode_stream(solo)
+    assert abs(psnr(img, rec) - psnr(img, rec_solo)) < 0.5
+
+
+def test_decode_stream_mesh_sp_bitexact():
+    """decode_stream(mesh=dp4) row-shards reconstruction with a halo
+    exchange; output must be bit-identical to the single-device decode."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.core.config import CodecConfig
+
+    img = synth_scene(64, 48, channels=3, seed=37)
+    cfg = CodecConfig(K=4, train=TrainSpec(epochs=1, batch_size=1024))
+    stream, _ = encode_image(img, cfg)
+    rec, _ = decode_stream(stream)
+    rec_sp, _ = decode_stream(stream, mesh=make_mesh(dp=4))
+    np.testing.assert_array_equal(rec_sp, rec)
+
+
+def test_encode_rate_points_mesh_ep():
+    """encode_rate_points(mesh=ep) fans K-rate experts across devices; E not
+    divisible by the axis exercises the padding path."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image, encode_rate_points
+    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.eval.metrics import psnr
+
+    img = synth_scene(48, 48, channels=2, seed=41)
+    tr = TrainSpec(epochs=2, batch_size=1024)
+    cfgs = [CodecConfig(K=K, train=tr) for K in (3, 5, 7)]  # 3 experts, ep=2
+    mesh = make_mesh(dp=1, ep=2)
+    results = encode_rate_points(img, cfgs, mesh=mesh)
+    for cfg, (stream, _) in zip(cfgs, results):
+        rec, dh = decode_stream(stream)
+        assert dh.header.K == cfg.K
+        np.testing.assert_array_equal(rec >> cfg.K, img >> cfg.K)
+        solo, _ = encode_image(img, cfg)
+        rec_solo, _ = decode_stream(solo)
+        assert abs(psnr(img, rec) - psnr(img, rec_solo)) < 0.5, cfg.K
+
+
 def test_sample_granule_mode():
     """Granule sampling (g>1) must train to a similar optimum as g=1 and
     handle non-divisible pixel counts via masking."""
@@ -162,7 +213,7 @@ def test_sample_granule_mode():
     img = synth_scene(50, 42, channels=2, seed=9)  # 2100 px, not / 8
     msb, lsb = split_msb_lsb(jnp.asarray(img), 5)
     plane, scale = pad_plane(msb, FSPEC.D)
-    labels = build_label_matrix(lsb)
+    labels = lsb.astype(jnp.uint16)
     lscale = jnp.float32(lsb_scale(5))
     ts1 = TrainSpec(epochs=4, batch_size=1024)
     ts8 = dataclasses.replace(ts1, sample_granule=8)

@@ -8,7 +8,6 @@ import numpy as np
 
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
-    build_label_matrix,
     lsb_scale,
     pad_plane,
     split_msb_lsb,
@@ -24,7 +23,7 @@ def _prep(hw=(40, 40), c=2, K=5, seed=0):
     img = synth_scene(*hw, channels=c, seed=seed)
     msb, lsb = split_msb_lsb(jnp.asarray(img), K)
     plane, scale = pad_plane(msb, FSPEC.D)
-    return plane, scale, build_label_matrix(lsb), jnp.float32(lsb_scale(K))
+    return plane, scale, lsb.astype(jnp.uint16), jnp.float32(lsb_scale(K))
 
 
 def test_lr_schedule_matches_steplr():
