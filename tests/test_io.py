@@ -51,6 +51,46 @@ def test_tiff_cv2_interop(tmp_path, rng):
     np.testing.assert_array_equal(via_cv, one[0])
 
 
+@pytest.mark.parametrize("channels", [1, 4])
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_tiff_tiled_roundtrip(tmp_path, rng, channels, bigtiff):
+    """Tile-organized files (incl. edge-padded partial tiles) round-trip.
+
+    Real Gaofen GeoTIFFs are commonly tiled BigTIFFs; the reference reads
+    them via GDAL (reference LBDRNdataset.py:93)."""
+    arr = rng.integers(0, 4095, (channels, 70, 45)).astype(np.uint16)
+    p = str(tmp_path / "t.tif")
+    write_tiff(p, arr, tile=(32, 16), bigtiff=bigtiff)
+    with open(p, "rb") as f:
+        magic = f.read(4)
+    assert magic == (b"II+\x00" if bigtiff else b"II*\x00")
+    back = read_tiff(p)
+    assert back.dtype == arr.dtype
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tiff_bigtiff_strips_roundtrip(tmp_path, rng):
+    arr = rng.standard_normal((3, 41, 29)).astype(np.float32)
+    p = str(tmp_path / "t.tif")
+    write_tiff(p, arr, rows_per_strip=16, bigtiff=True)
+    np.testing.assert_array_equal(read_tiff(p), arr)
+
+
+def test_tiff_tiled_cv2_interop(tmp_path, rng):
+    """A tiled file we write must parse through libtiff (via cv2)."""
+    cv2 = pytest.importorskip("cv2")
+    arr = rng.integers(0, 65535, (1, 50, 40)).astype(np.uint16)
+    p = str(tmp_path / "tiled.tif")
+    write_tiff(p, arr, tile=(16, 32))
+    via_cv = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(via_cv, arr[0])
+
+
+def test_tiff_tile_dims_validated(tmp_path):
+    with pytest.raises(ValueError, match="multiples of 16"):
+        write_tiff(str(tmp_path / "x.tif"), np.zeros((1, 8, 8), np.uint8), tile=(8, 8))
+
+
 @pytest.mark.parametrize("sr", [1, 2, 3])
 def test_split_merge_roundtrip(sr):
     img = synth_scene(97, 65, channels=2, seed=3)  # deliberately non-divisible
