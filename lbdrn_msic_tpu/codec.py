@@ -37,6 +37,7 @@ from lbdrn_msic_tpu.io.header import (
 from lbdrn_msic_tpu.io.tiles import merge_tiles, split_image
 from lbdrn_msic_tpu.models.siren import flatten_params, unflatten_params
 from lbdrn_msic_tpu.train.loop import FitResult, fit
+from lbdrn_msic_tpu.utils.transfer import put_image
 
 
 @dataclasses.dataclass
@@ -82,21 +83,37 @@ def _staging_bytes(H: int, W: int, C: int, fspec, g: int, tap_dt, raw_dt):
     return full, banded
 
 
+def _cached_bytes(H: int, W: int, C: int, fspec, g: int) -> int:
+    """Device bytes of the f32 feature cache (engine.build_feature_cache):
+    the (n, padded_in) matrix plus, for g > 1, its granule-grouped view."""
+    from lbdrn_msic_tpu.models.siren import pad_dim
+
+    g = max(1, g)
+    rows = -(-H * W // g) * g
+    one = rows * pad_dim(fspec.feature_dim(C)) * 4
+    return one * (2 if g > 1 else 1)
+
+
 def pick_staging(H, W, C, max_msb, fspec, tspec):
     """Choose the batch-construction mode for a tile (see train/loop.py):
-    the full (2D+1)^2 tap matrix when it fits the budget, the banded
-    row-taps path (5x fewer staged bytes — full-size Gaofen scenes live
-    here) when only that fits, scalar gathers as the last resort.
-    Returns (staging, tap_dtype)."""
+    the precomputed f32 feature cache when it fits the budget (fastest
+    steps AND evals — one gather per batch, slice-only evals), else the
+    full (2D+1)^2 integer tap matrix, else the banded row-taps path (5x
+    fewer staged bytes — full-size Gaofen scenes live here), scalar
+    gathers as the last resort.  Returns (staging, tap_dtype)."""
     from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
 
+    g = tspec.sample_granule
     if not fspec.use_colors:
+        # coords-only: no taps to stage, but the final-input cache applies
+        if fspec.use_coords and _cached_bytes(H, W, C, fspec, g) <= STAGE_BUDGET_BYTES:
+            return "cached", jnp.float32
         return "gather", jnp.int16
+    if _cached_bytes(H, W, C, fspec, g) <= STAGE_BUDGET_BYTES:
+        return "cached", jnp.float32
     tap_dt = tap_matrix_dtype(max_msb, fspec.relative)
     raw_dt = row_taps_dtype(max_msb)
-    full, banded = _staging_bytes(
-        H, W, C, fspec, tspec.sample_granule, tap_dt, raw_dt
-    )
+    full, banded = _staging_bytes(H, W, C, fspec, g, tap_dt, raw_dt)
     if full <= STAGE_BUDGET_BYTES:
         return "full", tap_dt
     if banded <= STAGE_BUDGET_BYTES:
@@ -129,7 +146,7 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None):
     """
     C, H, W = tile.shape
     fspec = cfg.features
-    dev = jnp.asarray(tile)  # async h2d; overlaps the host work below
+    dev = put_image(tile)  # delta-coded h2d (utils/transfer.py); dispatched async
     max_msb = int(tile.max()) >> cfg.K
 
     def msb_fn():
@@ -375,7 +392,7 @@ def _encode_rate_points_mesh(
     Ks = [c.K for c in cfgs] + [cfgs[-1].K] * (Epad - E)
 
     t0 = time.time()
-    dev = jnp.asarray(img)
+    dev = put_image(img)
     planes, scales, labels_l, lscales = [], [], [], []
     for Kv in Ks:
         plane, scale, labels = _prepare_tile(dev, Kv, fspec.D)
@@ -385,25 +402,31 @@ def _encode_rate_points_mesh(
         lscales.append(jnp.float32(lsb_scale(Kv)))
 
     # uniform staging across experts (vmap): budget covers the whole stack
-    max_img = int(img.max())
-    staging, dtype = pick_staging(
-        H, W, C, max_img >> min(Ks), fspec, cfg0.train
-    )
-    if staging != "gather":
-        full, banded = _staging_bytes(
-            H, W, C, fspec, cfg0.train.sample_granule, dtype, dtype
-        )
-        per = full if staging == "full" else banded
-        if Epad * per > STAGE_BUDGET_BYTES:
-            staging = (
-                "banded"
-                if Epad * banded <= STAGE_BUDGET_BYTES and fspec.use_colors
-                else "gather"
-            )
-            if staging == "banded":
-                from lbdrn_msic_tpu.features.engine import row_taps_dtype
+    from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
 
-                dtype = row_taps_dtype(max_img >> min(Ks))
+    max_img = int(img.max())
+    g = cfg0.train.sample_granule
+    staging, dtype = pick_staging(H, W, C, max_img >> min(Ks), fspec, cfg0.train)
+    if staging != "gather":
+        tap_dt = tap_matrix_dtype(max_img >> min(Ks), fspec.relative)
+        raw_dt = row_taps_dtype(max_img >> min(Ks))
+        full, banded = _staging_bytes(H, W, C, fspec, g, tap_dt, raw_dt)
+        per = {
+            "cached": _cached_bytes(H, W, C, fspec, g),
+            "full": full,
+            "banded": banded,
+        }
+        dts = {"cached": jnp.float32, "full": tap_dt, "banded": raw_dt}
+        order = ["cached", "full", "banded"]
+        # downgrade the per-tile pick until E experts' staging fits together
+        for mode in order[order.index(staging):]:
+            if mode != "cached" and not fspec.use_colors:
+                continue
+            if Epad * per[mode] <= STAGE_BUDGET_BYTES:
+                staging, dtype = mode, dts[mode]
+                break
+        else:
+            staging, dtype = "gather", tap_dt
 
     result = fit_experts(
         mesh,
@@ -523,7 +546,7 @@ def encode_rate_points(
     tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
 
     results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(cfgs)
-    dev_img = jnp.asarray(img)  # ONE h2d for every rate point
+    dev_img = put_image(img)  # ONE delta-coded h2d for every rate point
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
         for grp in groups:
             t0 = time.time()

@@ -448,6 +448,60 @@ def build_tap_matrix(
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("spec", "H", "W", "padded_in", "g")
+)
+def build_feature_cache(
+    plane: jnp.ndarray,
+    scale: jnp.ndarray,
+    spec: FeatureSpec,
+    H: int,
+    W: int,
+    padded_in: int,
+    g: int = 1,
+) -> jnp.ndarray:
+    """Every pixel's FINAL model input row — f32, zero-padded to the MXU
+    lane width — materialized once via the slice path:
+    (ceil(H*W/g)*g, padded_in) float32, row-major (trailing granule-padding
+    rows are zero).
+
+    This is the "cached" staging mode for tiles whose full f32 feature
+    matrix fits the staging budget (4x the int-tap bytes): a training batch
+    becomes ONE row gather with no per-step convert/scale/concat/pad, and
+    the full-image eval becomes contiguous slices + matmuls.  Values are
+    bit-identical to row_block_features(...) zero-padded — this function is
+    exactly that, precomputed (the staged/gather/slice parity contract of
+    tests/test_features.py extends to it)."""
+    n = H * W
+    rows_total = -(-n // g) * g
+    R_base = min(H, max(1, (1 << 17) // max(W, 1)))
+    R = R_base
+    out = jnp.zeros((rows_total, padded_in), jnp.float32)
+
+    def write(out, r0, feats):
+        d = feats.shape[-1]
+        if d != padded_in:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((*feats.shape[:-1], padded_in - d), feats.dtype)],
+                axis=-1,
+            )
+        return jax.lax.dynamic_update_slice(out, feats, (r0 * W, 0))
+
+    n_full = H // R
+    if n_full:
+        def body(out, b):
+            r0 = b * R
+            feats = row_block_features(plane, scale, r0, spec, H, W, R)
+            return write(out, r0, feats), None
+
+        out, _ = jax.lax.scan(body, out, jnp.arange(n_full))
+    if H % R:
+        r0 = n_full * R
+        feats = row_block_features(plane, scale, jnp.int32(r0), spec, H, W, H - r0)
+        out = write(out, r0, feats)
+    return out
+
+
 def staged_features(
     taps: jnp.ndarray,
     scale: jnp.ndarray,

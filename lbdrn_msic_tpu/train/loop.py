@@ -98,12 +98,17 @@ def dataset_mse(
     padded_in: int,
     axis_name: str | None = None,
     axis_size: int = 1,
+    x_cache: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full-image MSE via the slice path (one scan over row blocks).
 
     `labels` is the (C, H, W) integer LSB plane (2-D (H*W, C) matrices are
     catastrophically lane-padded as program inputs on TPU — see
     features/engine.py::build_banded_labels).
+
+    `x_cache`: optional precomputed (>= H*W, padded_in) f32 feature matrix
+    (engine.build_feature_cache) — evals become contiguous slices + matmuls
+    instead of rebuilding features from the plane each time.  Bit-identical.
 
     Under data parallelism (`axis_name` set, called inside shard_map) the
     row blocks are round-robined over the axis and the SSE is psum-reduced.
@@ -118,8 +123,14 @@ def dataset_mse(
         b = i * axis_size + me
         b_safe = jnp.minimum(b, n_blocks - 1)
         r0 = jnp.minimum(b_safe * R, H - R)
-        x = row_block_features(plane, plane_scale, r0, fspec, H, W, R)
-        pred = forward(params, pad_features(x, padded_in), mspec)
+        if x_cache is not None:
+            x = jax.lax.dynamic_slice(x_cache, (r0 * W, 0), (R * W, padded_in))
+        else:
+            x = pad_features(
+                row_block_features(plane, plane_scale, r0, fspec, H, W, R),
+                padded_in,
+            )
+        pred = forward(params, x, mspec)
         rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         valid = (rows >= b_safe * R) & (rows < H)  # skip rows a clamped r0 re-reads
         mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
@@ -180,10 +191,11 @@ def fit_core(
     (DP needs the psum between grads and Adam) and requires the batch to be
     a multiple of its tile size.
     """
-    if staging not in ("full", "banded", "gather"):
+    if staging not in ("cached", "full", "banded", "gather"):
         raise ValueError(f"unknown staging mode {staging!r}")
-    if staging != "gather" and not fspec.use_colors:
-        staging = "gather"  # coords-only features have nothing to stage
+    if staging in ("full", "banded") and not fspec.use_colors:
+        staging = "gather"  # coords-only features have no taps to stage
+        # ("cached" still applies: the cache holds the final model inputs)
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     n = H * W
@@ -211,8 +223,19 @@ def fit_core(
     block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
     me = jax.lax.axis_index(axis_name) if axis_name else 0
 
-    taps = row_taps = label_store = None
-    if staging == "full":
+    taps = row_taps = label_store = x_cache = None
+    if staging == "cached":
+        from lbdrn_msic_tpu.features.engine import build_feature_cache
+
+        x_cache = build_feature_cache(
+            plane, plane_scale, fspec, H, W, padded_in, g=g
+        )
+        if g > 1:
+            # granule-grouped view for 4KB-row batch gathers (same bytes,
+            # row-major; hoisted so the step body is gather-only)
+            x_cache_g = x_cache.reshape(n_g, g * padded_in)
+            labels_g = build_granule_labels(labels, H, W, g)
+    elif staging == "full":
         taps = build_tap_matrix(plane, fspec, H, W, jnp.dtype(tap_dtype), g=g)
         if g > 1:
             labels_g = build_granule_labels(labels, H, W, g)
@@ -251,6 +274,22 @@ def fit_core(
 
     def make_batch(gidx):
         """granule ids (bpg_local,) -> (x, y, mask) for the local batch."""
+        if staging == "cached":
+            # ONE row gather of final padded f32 inputs — no per-step
+            # convert/scale/concat/pad (coords live in the cache too)
+            gvalid = gidx < n_g
+            gi = jnp.clip(gidx, 0, n_g - 1)
+            if g == 1:
+                mask = gvalid.astype(jnp.float32)
+                x = x_cache[gi]
+                y = gather_pixel_labels(label_store, gi, C)
+                y = y.astype(jnp.float32) * label_scale
+                return x, y, mask
+            pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
+            mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+            x = x_cache_g[gi].reshape(bs_local, padded_in)
+            y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(bs_local, C)
+            return x, y, mask
         if staging == "banded":
             gvalid = gidx < n_g
             gi = jnp.clip(gidx, 0, n_g - 1)
@@ -346,7 +385,7 @@ def fit_core(
                 mse = dataset_mse(
                     params, plane, plane_scale, labels, label_scale,
                     fspec, mspec, H, W, block_rows, padded_in,
-                    axis_name, axis_size,
+                    axis_name, axis_size, x_cache=x_cache,
                 )
                 better = mse < best_mse
                 new_best = jax.tree.map(

@@ -1,0 +1,117 @@
+"""Delta-coded host->device image transfer.
+
+The dev-tunnel h2d path moves ~40 MB/s, so a raw 2048^2 x 4-band uint16
+scene costs ~0.8 s before training can start — the single largest slice of
+a single-image encode (the reference pays nothing here: its GPU sits on
+PCIe, reference encode.py:118 just calls .cuda()).  Gaofen-like imagery is
+strongly row-correlated, so instead of raw samples the host sends:
+
+  - the first column (C, H, 1) in the native dtype,
+  - int8 horizontal deltas, clipped to [-127, 127],
+  - a sparse exception list (flat position + int32 residual) for the
+    ~0.5 % of deltas that exceed int8,
+
+halving the bytes over the link.  The device rebuilds exact prefix sums on
+the MXU with blocked triangular matmuls in float32: every partial sum is a
+difference of two uint16 samples (|sum| < 2^17), so f32 arithmetic at
+HIGHEST precision is exact and the reconstruction is bit-identical (tested
+against adversarial images in tests/test_transfer.py).
+
+`put_image` is a drop-in for `jnp.asarray` on (C, H, W) uint16 arrays and
+falls back to a raw transfer whenever delta coding cannot win (tiny images,
+uint8 planes — deltas are already byte-wide — or exception-heavy content).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# images below this raw size take the plain path: the savings cannot
+# amortize the host delta pass + one-time program compile
+MIN_DELTA_BYTES = 4 << 20
+# exception arrays are padded to a bucket multiple to bound recompiles
+_EXC_BUCKET = 4096
+_BLOCK = 1024  # prefix-sum matmul block (W is padded to a multiple)
+
+
+def _tri(n: int, strict: bool) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((i < j) if strict else (i <= j)).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "out_dtype"))
+def _undelta(col0, clipped, pos, val, shape, out_dtype):
+    """Rebuild (C, H, W) from first columns + int8 deltas + exceptions.
+
+    Prefix sums via blocked triangular matmuls: in-block inclusive prefix
+    (rows, nb, B) @ tri(B), then block offsets from an exclusive prefix of
+    the block sums.  All values are integers < 2^17 in magnitude, exact in
+    f32 at HIGHEST precision.
+    """
+    C, H, W = shape
+    rows = C * H
+    Wm1 = W - 1
+    d = clipped.astype(jnp.float32).reshape(rows * Wm1)
+    # exceptions carry the clipped-off residual; padded entries point past
+    # the buffer and are dropped
+    d = d.at[pos].add(val.astype(jnp.float32), mode="drop")
+    nb = -(-Wm1 // _BLOCK)
+    B = _BLOCK if nb > 1 else Wm1
+    nb = -(-Wm1 // B)
+    pad = nb * B - Wm1
+    d = d.reshape(rows, Wm1)
+    if pad:
+        d = jnp.concatenate([d, jnp.zeros((rows, pad), jnp.float32)], axis=1)
+    d = d.reshape(rows, nb, B)
+    hi = jax.lax.Precision.HIGHEST
+    in_block = jnp.einsum("rnb,bc->rnc", d, _tri(B, strict=False), precision=hi)
+    sums = in_block[:, :, -1]  # (rows, nb)
+    offsets = jnp.einsum("rn,nm->rm", sums, _tri(nb, strict=True), precision=hi)
+    prefix = (in_block + offsets[:, :, None]).reshape(rows, nb * B)[:, :Wm1]
+    x0 = col0.astype(jnp.float32).reshape(rows, 1)
+    out = jnp.concatenate([x0, x0 + prefix], axis=1)
+    return out.astype(out_dtype).reshape(C, H, W)
+
+
+def put_image(img: np.ndarray) -> jax.Array:
+    """h2d an image array; (C, H, W) uint16 goes delta-coded when that wins.
+
+    Bit-identical to ``jnp.asarray(img)`` — only the bytes on the wire and
+    the device-side reconstruction differ.
+    """
+    if (
+        not isinstance(img, np.ndarray)
+        or img.ndim != 3
+        or img.dtype != np.uint16
+        or img.shape[2] < 2
+        or img.nbytes < MIN_DELTA_BYTES
+    ):
+        return jnp.asarray(img)
+    C, H, W = img.shape
+    a = img.astype(np.int32)
+    d = a[:, :, 1:] - a[:, :, :-1]
+    clipped = np.clip(d, -127, 127)
+    flat_resid = (d - clipped).reshape(-1)
+    pos = np.flatnonzero(flat_resid).astype(np.int32)
+    # int8 deltas save ~half the raw bytes; bail out when exceptions eat it
+    if pos.size * 8 > img.nbytes // 4:
+        return jnp.asarray(img)
+    val = flat_resid[pos]
+    cap = -(-max(pos.size, 1) // _EXC_BUCKET) * _EXC_BUCKET
+    pos_p = np.full(cap, C * H * (W - 1), np.int32)  # out of range -> dropped
+    val_p = np.zeros(cap, np.int32)
+    pos_p[: pos.size] = pos
+    val_p[: pos.size] = val
+    return _undelta(
+        np.ascontiguousarray(img[:, :, :1]),
+        clipped.astype(np.int8),
+        pos_p,
+        val_p,
+        (C, H, W),
+        jnp.uint16,
+    )

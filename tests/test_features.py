@@ -145,6 +145,55 @@ def test_staged_path_bitexact_vs_slice_and_gather(small_scene, dtype):
 @pytest.mark.parametrize("g", [1, 8])
 @pytest.mark.parametrize(
     "spec",
+    [FeatureSpec(), FeatureSpec(use_coords=True),
+     FeatureSpec(use_coords=True, use_colors=False)],
+    ids=["rel-D2", "coords+colors", "coords-only"],
+)
+def test_feature_cache_bitexact_vs_slice_and_gather(small_scene, spec, g):
+    """The cached-f32 path (final padded inputs, precomputed) must equal
+    pad_features(slice path) and pad_features(gather path) bit-for-bit."""
+    from lbdrn_msic_tpu.models.siren import pad_dim, pad_features
+
+    K = 5
+    C, H, W = small_scene.shape
+    plane, scale, _ = _prep(small_scene, K, spec.D)
+    padded_in = pad_dim(spec.feature_dim(C))
+    cache = engine.build_feature_cache(plane, scale, spec, H, W, padded_in, g=g)
+    n = H * W
+    assert cache.shape == (-(-n // g) * g, padded_in)
+    # trailing granule-padding rows are zero
+    np.testing.assert_array_equal(np.asarray(cache[n:]), 0.0)
+
+    rng = np.random.default_rng(2)
+    idx = jnp.asarray(rng.permutation(n)[:700].astype(np.int32))
+    gathered = pad_features(
+        engine.gather_features(plane, scale, idx, spec, H, W), padded_in
+    )
+    if spec.use_coords:
+        # per-pixel vs block-built coords differ by final-ULP fusion drift
+        np.testing.assert_allclose(
+            np.asarray(cache[idx]), np.asarray(gathered), rtol=0, atol=1e-7
+        )
+    else:
+        np.testing.assert_array_equal(np.asarray(cache[idx]), np.asarray(gathered))
+
+    R, r0 = 9, 13
+    sliced = pad_features(
+        engine.row_block_features(plane, scale, jnp.int32(r0), spec, H, W, R),
+        padded_in,
+    )
+    got = np.asarray(cache[r0 * W : (r0 + R) * W])
+    if spec.use_coords:
+        # a different block height recompiles 2*ii/(H-1)-1, whose divide
+        # may or may not be strength-reduced — final-ULP drift again
+        np.testing.assert_allclose(got, np.asarray(sliced), rtol=0, atol=1e-7)
+    else:
+        np.testing.assert_array_equal(got, np.asarray(sliced))
+
+
+@pytest.mark.parametrize("g", [1, 8])
+@pytest.mark.parametrize(
+    "spec",
     [FeatureSpec(), FeatureSpec(relative=False), FeatureSpec(use_coords=True)],
     ids=["rel-D2", "abs-D2", "coords+colors"],
 )

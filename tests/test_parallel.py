@@ -108,6 +108,67 @@ def test_staged_and_gather_modes_agree():
         np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-5)
 
 
+@pytest.mark.parametrize("g", [1, 8])
+def test_cached_matches_full_bitexact(g):
+    """The cached-f32 staging mode gathers the very same f32 feature values
+    the full-staged mode computes per step (colors-only spec), so the whole
+    training trajectory — losses, params, best-MSE checkpoint — must match
+    bit-for-bit."""
+    import dataclasses
+
+    plane, scale, labels, lscale, H, W, C = _prep(seed=21)
+    ts = dataclasses.replace(TSPEC, sample_granule=g)
+    key = jax.random.PRNGKey(9)
+    a = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts, H, W, C,
+            staging="full", tap_dtype="int16")
+    b = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts, H, W, C,
+            staging="cached", tap_dtype="float32")
+    np.testing.assert_array_equal(
+        np.asarray(a.epoch_losses), np.asarray(b.epoch_losses)
+    )
+    for wa, wb in zip(a.params.weights, b.params.weights):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(a.best_mse), np.asarray(b.best_mse))
+    np.testing.assert_array_equal(np.asarray(a.best_epoch), np.asarray(b.best_epoch))
+
+
+def test_cached_coords_only():
+    """Coords-only specs can't stage taps but CAN use the final-input cache;
+    the trajectory must match the scalar-gather path (ULP-tolerant: block-
+    built coords differ from per-pixel coords in the last bit)."""
+    import dataclasses
+
+    fspec = dataclasses.replace(FSPEC, use_coords=True, use_colors=False)
+    plane, scale, labels, lscale, H, W, C = _prep(seed=22)
+    key = jax.random.PRNGKey(11)
+    a = fit(plane, scale, labels, lscale, key, fspec, MSPEC, TSPEC, H, W, C,
+            staging="gather")
+    b = fit(plane, scale, labels, lscale, key, fspec, MSPEC, TSPEC, H, W, C,
+            staging="cached", tap_dtype="float32")
+    np.testing.assert_allclose(
+        np.asarray(a.epoch_losses), np.asarray(b.epoch_losses), rtol=1e-4
+    )
+    for wa, wb in zip(a.params.weights, b.params.weights):
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=1e-4)
+
+
+def test_pick_staging_prefers_cached_when_it_fits():
+    from lbdrn_msic_tpu.codec import STAGE_BUDGET_BYTES, _cached_bytes, pick_staging
+    from lbdrn_msic_tpu.core.config import FeatureSpec, TrainSpec
+
+    ts = TrainSpec(sample_granule=8)
+    fs = FeatureSpec()
+    # bench shape: the cache fits the 8 GB budget comfortably
+    assert _cached_bytes(2048, 2048, 4, fs, 8) <= STAGE_BUDGET_BYTES
+    assert pick_staging(2048, 2048, 4, 127, fs, ts)[0] == "cached"
+    # flagship Gaofen shapes: cache far too big, staged paths take over
+    for (H, W, C) in [(6000, 6000, 8), (7815, 7605, 4)]:
+        assert pick_staging(H, W, C, 127, fs, ts)[0] in ("full", "banded")
+    # coords-only small tile: cache applies despite having no taps
+    fs_c = FeatureSpec(use_coords=True, use_colors=False)
+    assert pick_staging(64, 64, 4, 127, fs_c, ts)[0] == "cached"
+
+
 def test_banded_matches_full_when_rows_divide():
     """W % g == 0 makes the banded granule grid identical to the flat one:
     the banded fit must reproduce the full-staged fit bit-for-bit (same

@@ -1,0 +1,69 @@
+"""Delta-coded h2d transfer: bit-exactness against jnp.asarray."""
+
+import numpy as np
+import pytest
+
+from lbdrn_msic_tpu.utils import transfer
+from lbdrn_msic_tpu.utils.synth import synth_scene
+
+
+def _roundtrip(img):
+    got = np.asarray(transfer.put_image(img))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_small_images_take_raw_path():
+    img = synth_scene(16, 16, channels=2, seed=0)
+    out = transfer.put_image(img)
+    np.testing.assert_array_equal(np.asarray(out), img)
+
+
+@pytest.mark.parametrize("shape", [(4, 64, 96), (1, 40, 33), (8, 17, 129)])
+def test_delta_path_bitexact_smooth(monkeypatch, shape, rng):
+    monkeypatch.setattr(transfer, "MIN_DELTA_BYTES", 0)
+    img = synth_scene(shape[1], shape[2], channels=shape[0],
+                      effective_bits=12, seed=5)
+    _roundtrip(img)
+
+
+def test_delta_path_bitexact_adversarial(monkeypatch, rng):
+    """Full-range uint16 noise: nearly every delta is an exception, partial
+    sums hit the +-65535 extremes — reconstruction must stay exact (the
+    exception-heavy bailout is disabled by forcing the delta path)."""
+    monkeypatch.setattr(transfer, "MIN_DELTA_BYTES", 0)
+    img = rng.integers(0, 65536, (2, 37, 41)).astype(np.uint16)
+    C, H, W = img.shape
+    a = img.astype(np.int32)
+    d = a[:, :, 1:] - a[:, :, :-1]
+    clipped = np.clip(d, -127, 127)
+    flat_resid = (d - clipped).reshape(-1)
+    pos = np.flatnonzero(flat_resid).astype(np.int32)
+    val = flat_resid[pos]
+    cap = -(-max(pos.size, 1) // transfer._EXC_BUCKET) * transfer._EXC_BUCKET
+    pos_p = np.full(cap, C * H * (W - 1), np.int32)
+    val_p = np.zeros(cap, np.int32)
+    pos_p[: pos.size] = pos
+    val_p[: pos.size] = val
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        transfer._undelta(
+            np.ascontiguousarray(img[:, :, :1]), clipped.astype(np.int8),
+            pos_p, val_p, (C, H, W), jnp.uint16,
+        )
+    )
+    np.testing.assert_array_equal(got, img)
+
+
+def test_exception_heavy_bails_to_raw(monkeypatch, rng):
+    monkeypatch.setattr(transfer, "MIN_DELTA_BYTES", 0)
+    img = rng.integers(0, 65536, (2, 64, 64)).astype(np.uint16)
+    _roundtrip(img)  # correct either way; this path must not crash
+
+
+def test_wide_block_boundaries(monkeypatch):
+    """W spanning multiple prefix-sum blocks, including ragged last block."""
+    monkeypatch.setattr(transfer, "MIN_DELTA_BYTES", 0)
+    monkeypatch.setattr(transfer, "_BLOCK", 16)
+    img = synth_scene(8, 100, channels=2, effective_bits=12, seed=9)
+    _roundtrip(img)
