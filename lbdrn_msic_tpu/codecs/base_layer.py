@@ -77,6 +77,15 @@ def _encode_jp2(msb: np.ndarray) -> bytes:
 def _decode_jp2(data: bytes) -> np.ndarray:
     import cv2
 
+    if data[:8] in (b"\x00\x00\x00\x0cjP  ", b"\x00\x00\x00\x0cjP\x1a\x1a") or data[:4] == b"\xff\x4f\xff\x51":
+        # a bare JP2 file / J2K codestream: the reference stores the base
+        # layer as GDAL-written JP2 bytes (reference encode.py:137) — the
+        # v0 BODY is a recorded deviation, see docs/FORMAT.md
+        raise ValueError(
+            "reference JPEG 2000 base payload detected: reference-produced "
+            "v0 bodies are not wire-compatible with this framework "
+            "(docs/FORMAT.md, 'v0 body deviation record')"
+        )
     if data[:4] != _JP2_MAGIC or data[4] != 1:
         raise ValueError("not an LJ2C stream")
     n_groups = data[5]

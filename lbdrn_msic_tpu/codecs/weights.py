@@ -123,6 +123,14 @@ def _compress_py(flat: np.ndarray, precision: int) -> bytes:
 
 
 def decompress(data: bytes) -> np.ndarray:
+    if data[:3] in (b"fpz", b"fpy"):
+        # reference weight payload (LLNL fpzip, reference encode.py:129):
+        # the v0 BODY is a recorded deviation — see docs/FORMAT.md
+        raise ValueError(
+            "reference fpzip weight payload detected: reference-produced v0 "
+            "bodies are not wire-compatible with this framework "
+            "(docs/FORMAT.md, 'v0 body deviation record')"
+        )
     if data[:4] != MAGIC:
         raise ValueError("not an LFPZ stream")
     version, precision, count = struct.unpack_from("<BBI", data, 4)

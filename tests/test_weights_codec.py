@@ -70,3 +70,29 @@ def test_empty_and_single():
     for v in (np.zeros(0, np.float32), np.asarray([0.123], np.float32)):
         back = wc.decompress(wc.compress(v, 16))
         np.testing.assert_array_equal(back, wc.quantize(v, 16))
+
+
+def test_reference_fpzip_payload_rejected():
+    """A reference-produced v0 body carries fpzip weight bytes; the decoder
+    must identify them and raise the recorded-deviation error, not
+    misparse (docs/FORMAT.md 'v0 body deviation record')."""
+    import pytest
+
+    from lbdrn_msic_tpu.codecs.weights import decompress
+
+    for magic in (b"fpz\x10", b"fpy\x01"):
+        with pytest.raises(ValueError, match="fpzip weight payload"):
+            decompress(magic + b"\x00" * 32)
+
+
+def test_reference_jp2_payload_rejected():
+    import pytest
+
+    from lbdrn_msic_tpu.codecs.base_layer import decode_base
+
+    jp2_sig = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a" + b"\x00" * 16
+    with pytest.raises(ValueError, match="JPEG 2000 base payload"):
+        decode_base(jp2_sig, "jp2")
+    j2k_soc = b"\xff\x4f\xff\x51" + b"\x00" * 16
+    with pytest.raises(ValueError, match="JPEG 2000 base payload"):
+        decode_base(j2k_soc, "jp2")
