@@ -139,18 +139,86 @@ def _residual_band_planes(
         return jax.lax.dynamic_update_slice(out, blocks[i], (0, offs[i], 0))
 
     out = jax.lax.fori_loop(0, n_blocks, place, out)
+    return _pack_bitplanes(out)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("fspec", "mspec", "W", "band_rows")
+)
+def _residual_band_planes_local(
+    band: jnp.ndarray,
+    params: SirenParams,
+    scale: jnp.ndarray,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    K: jnp.ndarray,
+    W: int,
+    band_rows: int,
+) -> jnp.ndarray:
+    """Residual bitplanes for ONE uploaded row band (h2d-streaming path).
+
+    `band`: (C, band_rows + 2D, W) RAW rows — the band plus its D-row halo,
+    true neighbor rows for interior bands and host-reflected rows at the
+    image edges, so features are bit-identical to the full-plane program.
+    `scale` is the GLOBAL 1/max of the base plane (computed on host).
+    Colors-only feature sets (coords need global row indices).
+    """
+    C = band.shape[0]
+    D = fspec.D
+    K = jnp.asarray(K, jnp.int32)
+    plane = band.astype(jnp.uint16)
+    if D > 0:
+        plane = jnp.pad(plane, ((0, 0), (0, 0), (D, D)), mode="reflect")
+    padded_in = pad_dim(fspec.feature_dim(C))
+    R = min(256, band_rows)
+    n_blocks = -(-band_rows // R)
+    lsb_peak = (jnp.int32(1) << K).astype(jnp.float32) - 1.0
+
+    def body(_, b):
+        rb = jnp.minimum(b * R, band_rows - R)
+        x = row_block_features(plane, scale, rb, fspec, band_rows, W, R)
+        pred = forward(params, pad_features(x, padded_in), mspec)
+        residual = (
+            jnp.round(pred * lsb_peak)
+            .astype(jnp.uint16)
+            .reshape(R, W, C)
+            .transpose(2, 0, 1)
+        )
+        return None, (residual, rb)
+
+    _, (blocks, offs) = jax.lax.scan(body, None, jnp.arange(n_blocks))
+    out = jnp.zeros((C, band_rows, W), jnp.uint16)
+
+    def place(i, out):
+        return jax.lax.dynamic_update_slice(out, blocks[i], (0, offs[i], 0))
+
+    out = jax.lax.fori_loop(0, n_blocks, place, out)
+    return _pack_bitplanes(out)
+
+
+def _pack_bitplanes(out: jnp.ndarray) -> jnp.ndarray:
+    """(…,) uint16 residuals -> (N_PLANES, ceil(n/8)) uint8 bitplane matrix
+    (np.unpackbits 'big' bit order)."""
     flat = out.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
     nb = -(-n // 8)
     if nb * 8 != n:
         flat = jnp.concatenate([flat, jnp.zeros((nb * 8 - n,), jnp.int32)])
     octets = flat.reshape(nb, 8)
-    # np.unpackbits 'big' bit order: first element of each octet is the MSB
     weights = (jnp.int32(1) << jnp.arange(7, -1, -1)).astype(jnp.int32)
     shifts = jnp.arange(N_PLANES, dtype=jnp.int32)[:, None, None]
     bits = (octets[None, :, :] >> shifts) & 1  # (N_PLANES, nb, 8); XLA fuses
     return (bits * weights[None, None, :]).sum(-1).astype(jnp.uint8)
+
+
+def _band_halo(base: np.ndarray, r0: int, band_rows: int, D: int) -> np.ndarray:
+    """Host-side band slice with a D-row halo; edge halos reflect the image
+    rows exactly like jnp.pad(mode='reflect') in pad_plane."""
+    H = base.shape[1]
+    idx = np.arange(r0 - D, r0 + band_rows + D)
+    idx = np.where(idx < 0, -idx, idx)
+    idx = np.where(idx >= H, 2 * (H - 1) - idx, idx)
+    return np.ascontiguousarray(base[:, idx, :])
 
 
 def _band_layout(H: int, n_bands: int) -> tuple[int, int]:
@@ -175,20 +243,37 @@ def dispatch_streamed(
     bands and assembles the final uint16 image on host.
 
     Splitting dispatch from fetch lets callers start *all* tiles' device
-    work before blocking on any d2h transfer."""
+    work before blocking on any d2h transfer.
+
+    For colors-only feature sets (coords need global row indices) the base
+    layer is ALSO uploaded band-by-band with a host-built halo
+    (_band_halo): band b+1's h2d rides the link while band b computes and
+    band b-1's planes come back — upload, compute and download all overlap
+    instead of paying the full-plane h2d up front."""
     C, H, W = base.shape
     n_bands, band_rows = _band_layout(H, n_bands)
-    dev = jnp.asarray(base)  # stored dtype (uint8 when it fits): cheap h2d
     pend = []
-    for b in range(n_bands):
-        r0 = min(b * band_rows, H - band_rows)
-        planes = _residual_band_planes(
-            dev, params, jnp.int32(r0), fspec, mspec, jnp.int32(K),
-            H, W, band_rows,
-        )
-        # slice out the K live planes now (async) so their d2h can start
-        # while later bands still compute
-        pend.append((r0, [planes[j] for j in range(K)]))
+    if not fspec.use_coords and n_bands > 1:
+        scale = np.float32(1.0) / np.float32(max(int(base.max()), 1))
+        for b in range(n_bands):
+            r0 = min(b * band_rows, H - band_rows)
+            band = _band_halo(base, r0, band_rows, fspec.D)
+            planes = _residual_band_planes_local(
+                jnp.asarray(band), params, jnp.float32(scale),
+                fspec, mspec, jnp.int32(K), W, band_rows,
+            )
+            # slice out the K live planes now (async) so their d2h can
+            # start while later bands still upload/compute
+            pend.append((r0, [planes[j] for j in range(K)]))
+    else:
+        dev = jnp.asarray(base)  # stored dtype (uint8 when it fits)
+        for b in range(n_bands):
+            r0 = min(b * band_rows, H - band_rows)
+            planes = _residual_band_planes(
+                dev, params, jnp.int32(r0), fspec, mspec, jnp.int32(K),
+                H, W, band_rows,
+            )
+            pend.append((r0, [planes[j] for j in range(K)]))
 
     def finish() -> np.ndarray:
         out = np.empty((C, H, W), np.uint16)
