@@ -1,19 +1,40 @@
-"""Headline benchmark: end-to-end encode throughput on one chip.
+"""Headline benchmark: end-to-end codec throughput on one chip.
 
-Encodes a synthetic 2048x2048x4-band 12-bit scene (the shape of the
-reference's README smoke input, `data/sample.tif` — an LFS blob missing from
-the snapshot) at the reference default config K=5, D=2, bc=64, nl=2,
-lr=1e-3, bs=8192, e=10 (reference README.md:18), then decodes and verifies.
+Workload: a synthetic 2048x2048x4-band 12-bit scene (the shape of the
+reference's README smoke input, `data/sample.tif` — an LFS blob missing
+from the snapshot) at the reference default config K=5, D=2, bc=64, nl=2,
+lr=1e-3, bs=8192, e=10 (reference README.md:18), sample_granule=8
+(RD-equivalent to g=1 — VALIDATION.md quantifies the BD-Rate delta).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  The headline metric is the HONEST single-image
+encode (one scene, cold arrays, full pipeline wall-clock); the same line
+carries the expert-batched 4-rate-point sweep throughput (the reference's
+run.sh workload) and decode throughput, plus a compiled-on-TPU parity check
+of the fused Pallas training step against the pure-JAX oracle.
 
-Baseline: the reference publishes no wall-clock numbers (SURVEY §6) and its
-stack (fpzip/GDAL/CUDA-torch) cannot run in this image.  `vs_baseline` is
-therefore measured against REF_BASELINE_MPX_S = 0.30 Mpixels/s — an estimate
-of the reference encoder's GPU throughput from its hot-loop structure (5120
-DataLoader-bound iterations + serial host codecs for a 4.19-Mpixel tile,
-tens of ms/iter dominated by per-batch Python/host overhead, SURVEY §3.1).
-Re-measure and replace when the reference stack is available.
+Baseline derivation (REF_BASELINE_MPX_S):
+The reference publishes no wall-clock numbers (BASELINE.md); its stack
+(fpzip/GDAL/CUDA-torch/ignite) cannot run in this image, so the baseline is
+a bound derived from its own hot-loop structure, anchored by one measured,
+hardware-comparable datapoint:
+
+- Its DataLoader serves 8192 per-pixel rows per batch through Python
+  __getitem__ + default collate (reference LBDRNdataset.py:151-155,
+  encode.py:69-70).  Measured on this host (torch 2.13 CPU, single
+  thread): 59.7 ms/batch.  With the reference's num_workers=32 scaling
+  perfectly, the data path alone sustains <= 32/0.0597 ~= 536 batches/s.
+- Per image it consumes 512 batches x 10 train epochs + 512 x 10 eval
+  passes (evaluator.run(train_loader) every epoch, encode.py:104-106)
+  = 10240 batches => >= 19.1 s of data-path time per 4.19-Mpx scene.
+- Plus serial host stages the loader cannot hide: the full (H*W, 104) f32
+  feature materialization (~1.7 GB numpy sliding-window, ~3-6 s,
+  LBDRNdataset.py:108-130), fpzip weight coding and GDAL JP2 base coding
+  (~1-2 s, encode.py:124-137).
+
+Floor: >= ~22 s/image = <= 0.19 Mpixels/s even with a GPU fast enough to
+be entirely hidden.  REF_BASELINE_MPX_S = 0.30 keeps the older, generous
+estimate (equivalent to assuming a ~1.6x faster host than measured) so
+`vs_baseline` under-claims rather than over-claims.
 """
 
 from __future__ import annotations
@@ -27,64 +48,138 @@ import numpy as np
 REF_BASELINE_MPX_S = 0.30
 
 
+def fused_parity_check(n_steps=5, lr=1e-3) -> bool:
+    """Compiled-on-TPU check: fused Pallas step tracks the pure-JAX oracle.
+
+    Runs a chain of steps through both paths from identical state (CPU CI
+    covers interpret mode; this guards the real Mosaic lowering every bench
+    run — VERDICT r1 weak #4).  Two assertions:
+
+    - the per-step LOSS trajectories agree to ~1e-4 relative (the loss is an
+      aggregate and numerically stable across the paths),
+    - per-leaf param drift stays under 3 * n_steps * lr.  Params cannot be
+      compared tightly: the XLA oracle's matmuls run at the TPU's default
+      (bf16-pass) precision while the Pallas kernel computes in f32, and
+      Adam's early updates are ~= +-lr * sign(grad) — a near-zero gradient
+      whose sign flips under bf16 noise moves a param by 2*lr while both
+      trajectories remain equally valid.  A real kernel bug (wrong matmul,
+      transposed gradient, broken accumulator) produces O(1) divergence and
+      still trips either bound.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lbdrn_msic_tpu.core.config import ModelSpec
+    from lbdrn_msic_tpu.models.siren import init_params, pad_dim
+    from lbdrn_msic_tpu.ops.fused_step import fused_train_step, reference_train_step
+
+    mspec = ModelSpec()
+    C, dim_in = 4, 100
+    padded_in = pad_dim(dim_in)
+    B = 2048
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, dim_in, C, mspec, pad_input_to=padded_in)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (B, padded_in), jnp.float32, -1, 1)
+    x = x.at[:, dim_in:].set(0.0)
+    y = jax.random.uniform(k2, (B, C), jnp.float32)
+    mask = jnp.ones((B,), jnp.float32)
+
+    ok = True
+    pf, mf, vf = params, zeros, zeros
+    pr, mr, vr = params, zeros, zeros
+    for step in range(1, n_steps + 1):
+        lr_ = jnp.float32(lr)
+        pf, mf, vf, loss_f = fused_train_step(
+            pf, mf, vf, x, y, mask, lr_, jnp.int32(step), mspec, C
+        )
+        pr, mr, vr, loss_r = reference_train_step(
+            pr, mr, vr, x, y, mask, lr_, jnp.int32(step), mspec, C
+        )
+        ok &= bool(jnp.allclose(loss_f, loss_r, rtol=1e-4, atol=1e-6))
+    bound = 3.0 * n_steps * lr
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
+        ok &= bool(jnp.abs(a - b).max() < bound)
+    return ok
+
+
 def main():
-    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image, encode_rate_points
     from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
     from lbdrn_msic_tpu.eval.metrics import psnr
     from lbdrn_msic_tpu.utils.synth import synth_scene
 
     H = W = 2048
     img = synth_scene(H, W, channels=4, effective_bits=12, seed=42)
-    # sample_granule=8: batches are shuffled 8-pixel runs instead of single
-    # pixels — identical converged MSE (see tests), 8x fewer TPU gather
-    # descriptors.  All other knobs are the reference defaults.
+    mpx = H * W / 1e6
     cfg = CodecConfig(K=5, train=TrainSpec(sample_granule=8))
+    cfgs = [CodecConfig(K=K, train=TrainSpec(sample_granule=8)) for K in (3, 4, 5, 6)]
 
-    from lbdrn_msic_tpu.codec import encode_rate_points
-    from lbdrn_msic_tpu.core.config import CodecConfig as _CC
-
-    # measured workload: 4 rate points of the image (the reference's run.sh
-    # sweep shape) trained SIMULTANEOUSLY as batched experts in one device
-    # program (codec.encode_rate_points); host base codecs overlap training
-    cfgs = [_CC(K=K, train=TrainSpec(sample_granule=8)) for K in (3, 4, 5, 6)]
-
-    # warm-up runs compile every jitted program for these static shapes
+    # warm-up compiles every jitted program for these static shapes
     t0 = time.time()
-    results = encode_rate_points(img, cfgs)
-    decode_stream(results[2][0])
+    stream, _ = encode_image(img, cfg)
+    encode_rate_points(img, cfgs)
+    decode_stream(stream)
     warm = time.time() - t0
 
-    # best of two passes: the remote compile/dispatch service in this dev
-    # container has high latency variance; the better pass reflects the chip
+    parity = fused_parity_check()
+
+    # headline: single-image encode (best of 3 against remote-dispatch
+    # latency variance; each pass is the full cold-array pipeline)
     enc_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        stream, stats = encode_image(img, cfg)
+        enc_s = min(enc_s, time.time() - t0)
+
+    # the reference's run.sh rate sweep, expert-batched (per-point time)
+    sweep_s = float("inf")
     for _ in range(2):
         t0 = time.time()
         results = encode_rate_points(img, cfgs)
-        enc_s = min(enc_s, (time.time() - t0) / len(cfgs))
-    stream, stats = results[2]  # the K=5 job, for the quality report
+        sweep_s = min(sweep_s, (time.time() - t0) / len(cfgs))
 
-    t0 = time.time()
-    rec, _ = decode_stream(stream)
-    dec_s = time.time() - t0
+    dec_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rec, _ = decode_stream(stream)
+        dec_s = min(dec_s, time.time() - t0)
 
-    mpx = H * W / 1e6
     p = psnr(img, rec)
+    assert np.array_equal(rec >> 5, img >> 5), "MSB path corrupted"
+    assert parity, "fused Pallas step diverged from the XLA oracle on TPU"
+
+    # end-to-end cross-check: the fused-kernel encode and the XLA-step
+    # encode must land the same rate-distortion point (VERDICT r1 weak #4)
+    stream_x, _ = encode_image(img, cfg, use_fused=False)
+    rec_x, _ = decode_stream(stream_x)
+    p_x = psnr(img, rec_x)
+    assert abs(float(p) - float(p_x)) < 0.1, (p, p_x)
+    phases = " ".join(
+        f"{k}={v:.2f}s" for k, v in sorted((stats.phases or {}).items())
+    )
     print(
-        f"[bench] encode {enc_s:.2f}s (warm-up {warm:.2f}s) decode {dec_s:.2f}s | "
-        f"PSNR {p:.2f} dB bpsp {stats.bpsp:.3f} | "
-        f"tile train {stats.tiles[0].train_time:.2f}s base-codec {stats.tiles[0].base_time:.2f}s",
+        f"[bench] single-image {enc_s:.2f}s | sweep {sweep_s:.2f}s/pt | "
+        f"decode {dec_s:.2f}s | warm-up {warm:.1f}s | PSNR {p:.2f} dB "
+        f"(XLA-step {p_x:.2f}) bpsp {stats.bpsp:.3f} | "
+        f"fused-parity {parity} | {phases}",
         file=sys.stderr,
     )
-    assert np.array_equal(rec >> 5, img >> 5), "MSB path corrupted"
 
     value = mpx / enc_s
     print(
         json.dumps(
             {
-                "metric": "encode_throughput",
+                "metric": "encode_throughput_single_image",
                 "value": round(value, 4),
                 "unit": "Mpixels/s/chip",
                 "vs_baseline": round(value / REF_BASELINE_MPX_S, 2),
+                "sweep_mpx_s_per_point": round(mpx / sweep_s, 4),
+                "decode_mpx_s": round(mpx / dec_s, 4),
+                "fused_parity": parity,
+                "psnr_db": round(float(p), 2),
+                "bpsp": round(stats.bpsp, 4),
             }
         )
     )

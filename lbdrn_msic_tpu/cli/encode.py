@@ -79,6 +79,11 @@ def write_encode_outputs(log, bin_path, stem, stream, stats, t0,
         log.event(tile=i, nn_bytes=t.nn_bytes, base_bytes=t.base_bytes,
                   best_mse=t.best_mse, best_epoch=t.best_epoch,
                   train_time=t.train_time, base_time=t.base_time)
+    if stats.phases:
+        # host-side phase accounting — regressions show up per phase
+        parts = " ".join(f"{k}={v:.3f}s" for k, v in sorted(stats.phases.items()))
+        log.info(f"phases: {parts}")
+        log.event(**{f"phase_{k}": round(v, 4) for k, v in stats.phases.items()})
     if tensorboard:
         from lbdrn_msic_tpu.utils.tboard import tensorboard_available, write_training_curves
 

@@ -57,6 +57,10 @@ class EncodeStats:
     total_bytes: int
     n_subpixels: int
     elapsed: float
+    # host-side phase accounting (utils/profiling.PhaseTimer): dispatch
+    # (h2d + prep + train dispatch), train_wait (blocking on the device),
+    # weights_codec, base_wait (worker-thread base codec remainder)
+    phases: Optional[dict] = None
 
     @property
     def bpsp(self) -> float:
@@ -132,7 +136,8 @@ def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
     return plane, plane_scale, lsb.astype(jnp.uint16)
 
 
-def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None):
+def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None,
+                use_fused: Optional[bool] = None):
     """Train one tile's network; returns (flat_fn, msb_fn, fit_result).
 
     Critical-path ordering: the host->device transfer is dispatched first
@@ -169,8 +174,10 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None):
         )
     else:
         # fused Pallas step: single-device TPU only (interpret mode on CPU
-        # would be far slower than the XLA path)
-        use_fused = jax.default_backend() != "cpu"
+        # would be far slower than the XLA path); use_fused=False forces the
+        # XLA step (the bench's fused-vs-XLA PSNR cross-check)
+        if use_fused is None:
+            use_fused = jax.default_backend() != "cpu"
         result = fit(
             plane, plane_scale, labels, label_scale, key,
             fspec, cfg.model, cfg.train, H, W, C,
@@ -191,6 +198,7 @@ def encode_image(
     header_version: int = 1,
     collect_curves: bool = False,
     mesh=None,
+    use_fused: Optional[bool] = None,
 ) -> tuple[bytes, EncodeStats]:
     """img: (C, H, W) uint16 -> (bitstream, stats).
 
@@ -206,29 +214,38 @@ def encode_image(
     """
     import concurrent.futures
 
+    from lbdrn_msic_tpu.utils.profiling import PhaseTimer
+
     if img.ndim == 2:
         img = img[None]
     C, H, W = img.shape
     if key is None:
         key = jax.random.PRNGKey(cfg.train.seed)
     t0 = time.time()
+    timer = PhaseTimer()
     nn_streams, base_streams, tiles_stats = [], [], []
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
         for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
             tkey = jax.random.fold_in(key, tile_idx)
             t1 = time.time()
-            # dispatches device training; returns before the TPU finishes
-            flat_fn, msb_fn, result = _train_tile(tile, cfg, tkey, mesh=mesh)
-            base_future = pool.submit(
-                lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
-            )
-            flat = flat_fn()  # blocks on the device result
-            best_mse, best_epoch = jax.device_get(
-                (result.best_mse, result.best_epoch)
-            )
+            with timer.phase("dispatch"):
+                # dispatches device training; returns before the TPU finishes
+                flat_fn, msb_fn, result = _train_tile(
+                    tile, cfg, tkey, mesh=mesh, use_fused=use_fused
+                )
+                base_future = pool.submit(
+                    lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
+                )
+            with timer.phase("train_wait"):
+                flat = flat_fn()  # blocks on the device result
+                best_mse, best_epoch = jax.device_get(
+                    (result.best_mse, result.best_epoch)
+                )
             t2 = time.time()
-            nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
-            base = base_future.result()
+            with timer.phase("weights_codec"):
+                nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+            with timer.phase("base_wait"):
+                base = base_future.result()
             t3 = time.time()
             nn_streams.append(nn)
             base_streams.append(base)
@@ -262,6 +279,7 @@ def encode_image(
         total_bytes=len(stream),
         n_subpixels=C * H * W,
         elapsed=time.time() - t0,
+        phases=dict(timer.phases),
     )
     return stream, stats
 
