@@ -1,0 +1,189 @@
+"""Reproduce the reference's ablation experiment matrix on a synthetic suite.
+
+The reference's README drives run.sh over four experiment groups
+(reference README.md:28-62; tables produced by BD_metrics.py:111-520):
+
+  1. feature set        — rel-colors D1/D2/D3, +coords, coords-only,
+                          coords+embedding, abs-colors D2/D0
+  2. (bc, nl) network   — (64,2) anchor, (128,1), (128,2), (256,2)
+  3. lr / bs / epochs   — lr 1e-2/1e-4, bs 4096/2048, e 1/5/15
+  4. split_ratio        — sr 2, sr 3
+
+This script sweeps every variant over K rate points on synthetic
+Gaofen-like scenes (the real Gaofen data is an LFS blob absent from the
+snapshot), writes one canonical results CSV per variant, and emits the
+BD-Rate/BD-PSNR ablation tables (eval/reports.py::ablation_table_markdown)
+against the anchor config — the TPU-native equivalent of the reference's
+feature_set()/network_hyperparameter()/training_hyperparameter()/
+split_ratio() report sections.
+
+Usage: python scripts/ablations.py [--size 256] [--scenes 2] [--k-min 1]
+       [--k-max 6] [--out validation/ablations] [--groups feature network ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def variant_matrix():
+    """{group: {variant_name: CodecConfig-kwargs}} mirroring README.md:28-62."""
+    from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
+
+    F = FeatureSpec
+    feature = {
+        "rel-colors-D2": dict(features=F()),  # anchor
+        "rel-colors-D1": dict(features=F(D=1)),
+        "rel-colors-D3": dict(features=F(D=3)),
+        "coords-rel-colors-D2": dict(features=F(use_coords=True)),
+        "coords": dict(features=F(use_coords=True, use_colors=False)),
+        "coords-embedding": dict(
+            features=F(use_coords=True, embedding=True, use_colors=False)
+        ),
+        "abs-colors-D2": dict(features=F(relative=False)),
+        "abs-colors-D0": dict(features=F(relative=False, D=0)),
+    }
+    network = {
+        "bc64-nl2": dict(model=ModelSpec()),  # anchor
+        "bc128-nl1": dict(model=ModelSpec(base_channel=128, num_layers=1)),
+        "bc128-nl2": dict(model=ModelSpec(base_channel=128)),
+        "bc256-nl2": dict(model=ModelSpec(base_channel=256)),
+    }
+    T = TrainSpec
+    training = {
+        "lr1e-3-bs8192-e10": dict(train=T()),  # anchor
+        "lr1e-2": dict(train=T(lr=1e-2)),
+        "lr1e-4": dict(train=T(lr=1e-4)),
+        "bs4096": dict(train=T(batch_size=4096)),
+        "bs2048": dict(train=T(batch_size=2048)),
+        "e1": dict(train=T(epochs=1)),
+        "e5": dict(train=T(epochs=5)),
+        "e15": dict(train=T(epochs=15)),
+    }
+    split = {
+        "sr1": dict(split_ratio=1),  # anchor
+        "sr2": dict(split_ratio=2),
+        "sr3": dict(split_ratio=3),
+    }
+    return {
+        "feature": ("rel-colors-D2", feature),
+        "network": ("bc64-nl2", network),
+        "training": ("lr1e-3-bs8192-e10", training),
+        "split": ("sr1", split),
+    }
+
+
+def sweep_variant_csv(images, base_cfg, ks, granule, path):
+    """Sweep one config over K rate points for every scene; write the
+    canonical CSV (rows K, columns {image}_{MSE,PSNR,bpsp,bits})."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_rate_points
+    from lbdrn_msic_tpu.eval.metrics import PSNR_PEAK
+
+    names = list(images)
+    metrics = ["MSE", "PSNR", "bpsp", "bits"]
+    rd = {}
+    for n in names:
+        cfgs = [dataclasses.replace(base_cfg, K=K) for K in ks]
+        encoded = encode_rate_points(images[n], cfgs)
+        for K, (stream, _) in zip(ks, encoded):
+            rec, _ = decode_stream(stream)
+            mse = float(
+                np.mean((images[n].astype(np.float32) - rec.astype(np.float32)) ** 2)
+            )
+            psnr = 10 * np.log10(PSNR_PEAK**2 / mse) if mse else float("inf")
+            bits = 8 * len(stream)
+            rd[(K, n)] = [mse, psnr, bits / images[n].size, bits]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["K"] + [f"{n}_{m}" for n in names for m in metrics])
+        for K in ks:
+            w.writerow([f"K{K}"] + [v for n in names for v in rd[(K, n)]])
+    return path
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--scenes", type=int, default=2)
+    p.add_argument("--channels", type=int, default=4)
+    p.add_argument("--k-min", type=int, default=1)
+    p.add_argument("--k-max", type=int, default=6)
+    p.add_argument("--granule", type=int, default=8)
+    p.add_argument("--out", type=str, default="validation/ablations")
+    p.add_argument(
+        "--groups", nargs="*", default=["feature", "network", "training", "split"]
+    )
+    args = p.parse_args()
+
+    from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
+    from lbdrn_msic_tpu.eval.reports import ablation_table_markdown
+    from lbdrn_msic_tpu.utils.synth import synth_scene
+
+    os.makedirs(args.out, exist_ok=True)
+    images = {
+        f"scene{i}": synth_scene(
+            args.size, args.size, args.channels, effective_bits=12, seed=100 + i
+        )
+        for i in range(args.scenes)
+    }
+    ks = list(range(args.k_min, args.k_max + 1))
+    matrix = variant_matrix()
+
+    md = [
+        "# Ablation matrix (synthetic suite)",
+        "",
+        f"{args.scenes} synthetic {args.size}x{args.size}x{args.channels} scenes, "
+        f"K={args.k_min}..{args.k_max}, sample_granule={args.granule}.  "
+        "Negative BD-Rate = variant beats the anchor.  Mirrors the reference's "
+        "experiment groups (reference README.md:28-62, BD_metrics.py:111-520) "
+        "on synthetic stand-ins for the LFS-absent Gaofen scenes.",
+        "",
+    ]
+    groups_map = {"all": list(range(len(images)))}
+    for group in args.groups:
+        anchor_name, variants = matrix[group]
+        md.append(f"## {group} (anchor: {anchor_name})\n")
+        csvs = {}
+        for name, kwargs in variants.items():
+            cfg = CodecConfig(**kwargs)
+            if "train" not in kwargs:
+                cfg = dataclasses.replace(
+                    cfg, train=TrainSpec(sample_granule=args.granule)
+                )
+            else:
+                cfg = dataclasses.replace(
+                    cfg,
+                    train=dataclasses.replace(
+                        cfg.train, sample_granule=args.granule
+                    ),
+                )
+            path = os.path.join(args.out, f"{group}_{name}.csv")
+            t0 = time.time()
+            sweep_variant_csv(images, cfg, ks, args.granule, path)
+            print(f"[{group}] {name}: {time.time()-t0:.1f}s -> {path}", flush=True)
+            csvs[name] = path
+        others = {n: p for n, p in csvs.items() if n != anchor_name}
+        table = ablation_table_markdown(
+            others, csvs[anchor_name], n_images=len(images),
+            groups=groups_map, k_points=len(ks),
+        )
+        md.append(table)
+        md.append("")
+    out_md = os.path.join(args.out, "ABLATIONS.md")
+    with open(out_md, "w") as f:
+        f.write("\n".join(md))
+    print(f"wrote {out_md}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
