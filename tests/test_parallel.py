@@ -210,7 +210,9 @@ def test_banded_with_ragged_rows():
     r1 = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts1, 50, 42, 2)
     mb, m1 = float(rb.best_mse), float(r1.best_mse)
     assert np.isfinite(mb)
-    assert abs(mb - m1) < 0.25 * m1, (m1, mb)
+    # band justified by the full-sweep g=8-vs-g=1 BD delta (VALIDATION.md);
+    # see test_sample_granule_mode
+    assert abs(mb - m1) < 0.10 * m1, (m1, mb)
 
 
 def test_encode_image_mesh_dp_roundtrip():
@@ -283,4 +285,10 @@ def test_sample_granule_mode():
     r8 = fit(plane, scale, labels, lscale, key, FSPEC, MSPEC, ts8, 50, 42, 2)
     m1, m8 = float(r1.best_mse), float(r8.best_mse)
     assert np.isfinite(m8)
-    assert abs(m8 - m1) < 0.25 * m1, (m1, m8)
+    # Converged-quality equivalence measured at full scale: a complete RD
+    # sweep at g=8 vs g=1 lands within +0.0063 % BD-Rate / -0.0013 dB
+    # (validation/VALIDATION.md "sample_granule quantified").  This
+    # tiny-scene smoke keeps a 10 % MSE band — 4 epochs on 2100 px is
+    # noisier than the 10-epoch 512^2 validation runs, and MSE is
+    # quadratic in the ~0.001 dB PSNR delta measured there.
+    assert abs(m8 - m1) < 0.10 * m1, (m1, m8)
