@@ -122,6 +122,10 @@ def main() -> int:
     p.add_argument(
         "--groups", nargs="*", default=["feature", "network", "training", "split"]
     )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="reuse existing per-variant CSVs instead of re-sweeping them",
+    )
     args = p.parse_args()
 
     from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
@@ -147,6 +151,14 @@ def main() -> int:
         "experiment groups (reference README.md:28-62, BD_metrics.py:111-520) "
         "on synthetic stand-ins for the LFS-absent Gaofen scenes.",
         "",
+        f"Caveat: at {args.size}^2 px the network weights are a far larger "
+        "bitstream fraction than on real 36-Mpx Gaofen scenes, so variants "
+        "that grow the model (bc/nl, D3, split_ratio>1 — one network per "
+        "tile) look worse here than the reference reports at full scale; "
+        "the directional ordering within each group is what this matrix "
+        "validates.  Re-run with --size at the real scene sizes when the "
+        "dataset is available.",
+        "",
     ]
     groups_map = {"all": list(range(len(images)))}
     for group in args.groups:
@@ -167,9 +179,13 @@ def main() -> int:
                     ),
                 )
             path = os.path.join(args.out, f"{group}_{name}.csv")
-            t0 = time.time()
-            sweep_variant_csv(images, cfg, ks, args.granule, path)
-            print(f"[{group}] {name}: {time.time()-t0:.1f}s -> {path}", flush=True)
+            if args.resume and os.path.exists(path):
+                print(f"[{group}] {name}: reusing {path}", flush=True)
+            else:
+                t0 = time.time()
+                sweep_variant_csv(images, cfg, ks, args.granule, path)
+                print(f"[{group}] {name}: {time.time()-t0:.1f}s -> {path}",
+                      flush=True)
             csvs[name] = path
         others = {n: p for n, p in csvs.items() if n != anchor_name}
         table = ablation_table_markdown(
