@@ -444,7 +444,11 @@ def _encode_rate_points_mesh(
                 staging, dtype = mode, dts[mode]
                 break
         else:
-            staging, dtype = "gather", tap_dt
+            # match pick_staging's gather returns: int16 for coords-only
+            # specs (no taps staged), tap dtype otherwise — keeps the
+            # fit_experts jit signature consistent across entry points
+            staging = "gather"
+            dtype = tap_dt if fspec.use_colors else jnp.int16
 
     result = fit_experts(
         mesh,

@@ -7,15 +7,19 @@ PCIe, reference encode.py:118 just calls .cuda()).  Gaofen-like imagery is
 strongly row-correlated, so instead of raw samples the host sends:
 
   - the first column (C, H, 1) in the native dtype,
-  - int8 horizontal deltas, clipped to [-127, 127],
-  - a sparse exception list (flat position + int32 residual) for the
-    ~0.5 % of deltas that exceed int8,
+  - the low byte of each wrapped horizontal delta, read as int8 (a mod-256
+    wrap, not a clip: it equals the true delta iff |delta| <= 127, and
+    d == -128 also survives because 0x80 reads back as -128),
+  - a sparse exception list (flat position + exact int32 residual
+    ``true_delta - low_byte``) for every delta outside [-128, 127],
 
 halving the bytes over the link.  The device rebuilds exact prefix sums on
-the MXU with blocked triangular matmuls in float32: every partial sum is a
-difference of two uint16 samples (|sum| < 2^17), so f32 arithmetic at
-HIGHEST precision is exact and the reconstruction is bit-identical (tested
-against adversarial images in tests/test_transfer.py).
+the MXU with blocked triangular matmuls in float32: after the exception
+scatter every per-position delta is the exact int32 delta, so each partial
+sum telescopes to a difference of two uint16 samples (|sum| <= 65535) and
+f32 arithmetic at HIGHEST precision is exact — the reconstruction is
+bit-identical (tested against adversarial full-range images in
+tests/test_transfer.py).
 
 `put_image` is a drop-in for `jnp.asarray` on (C, H, W) uint16 arrays and
 falls back to a raw transfer whenever delta coding cannot win (tiny images,
@@ -93,19 +97,40 @@ def put_image(img: np.ndarray) -> jax.Array:
     ):
         return jnp.asarray(img)
     C, H, W = img.shape
-    # all-uint16 wraparound arithmetic (an int32 widening pass costs ~0.3 s
-    # for a Gaofen-sized scene — as much as the bytes it saves):
-    # dw = delta mod 2^16; its low byte read as int8 IS the delta whenever
-    # |delta| <= 127, and (dw + 128) mod 2^16 >= 256 flags the exceptions
+    # all-uint16 wraparound arithmetic (an int32 widening pass over the
+    # whole image costs ~0.3 s for a Gaofen-sized scene — as much as the
+    # bytes it saves): dw = delta mod 2^16; its low byte read as int8 IS
+    # the delta whenever delta is in [-128, 127], and
+    # (dw + 128) mod 2^16 >= 256 flags deltas with 128 <= |d| <= 65407
     dw = img[:, :, 1:] - img[:, :, :-1]  # uint16 wraps
     clipped = dw.astype(np.uint8).view(np.int8)
-    pos = np.flatnonzero((dw + np.uint16(128)) >= 256).astype(np.int32)
+    pos = np.flatnonzero((dw + np.uint16(128)) >= 256)
+    if int(img.max()) >= 65408:
+        # |d| >= 65408 wraps dw back into the unflagged [0,127]+[65408,
+        # 65535] band; it needs one endpoint >= 65408 and the other < 128,
+        # so this pass only runs (and only pays two compares) on genuinely
+        # full-range content
+        left, right = img[:, :, :-1], img[:, :, 1:]
+        wrap = ((left < 128) & (right >= 65408)) | (
+            (left >= 65408) & (right < 128)
+        )
+        extra = np.flatnonzero(wrap & ((dw + np.uint16(128)) < 256))
+        if extra.size:
+            pos = np.concatenate([pos, extra])
     # int8 deltas save ~half the raw bytes; bail out when exceptions eat it
     if pos.size * 8 > img.nbytes // 4:
         return jnp.asarray(img)
-    flat_w = dw.reshape(-1)[pos].astype(np.int32)
-    d_true = np.where(flat_w >= 32768, flat_w - 65536, flat_w)
+    # exact true deltas at the (sparse) exception positions, computed from
+    # the original samples in int32 — dw alone is ambiguous between d and
+    # d +- 65536 once samples reach 32768
+    w1 = W - 1
+    c, r = np.divmod(pos, H * w1)
+    h, w = np.divmod(r, w1)
+    li = (c * H + h) * W + w
+    flat = img.reshape(-1)
+    d_true = flat[li + 1].astype(np.int32) - flat[li].astype(np.int32)
     val = d_true - clipped.reshape(-1)[pos]
+    pos = pos.astype(np.int32)
     cap = -(-max(pos.size, 1) // _EXC_BUCKET) * _EXC_BUCKET
     pos_p = np.full(cap, C * H * (W - 1), np.int32)  # out of range -> dropped
     val_p = np.zeros(cap, np.int32)
