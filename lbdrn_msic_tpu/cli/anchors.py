@@ -23,6 +23,11 @@ def main(argv=None) -> int:
                    choices=list(anchors.METHODS))
     p.add_argument("--k-min", type=int, default=1)
     p.add_argument("--k-max", type=int, default=11)
+    p.add_argument(
+        "--jxl-substitute", action="store_true",
+        help="run the JPEGXL slot with the in-repo substitute band codec "
+        "when cjxl/djxl are absent (results labeled JPEGXLsub)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -33,12 +38,17 @@ def main(argv=None) -> int:
 
     n_pts = args.k_max - args.k_min + 1
     for method in args.methods:
+        label, jxl_codec = method, None
         if method == "JPEGXL" and not anchors.jpegxl_available():
-            print(f"[anchors] skipping {method}: cjxl/djxl not on PATH")
-            continue
-        out_csv = os.path.join(args.output_dir, f"{method}_{n_pts}rps.csv")
-        print(f"[anchors] {method} -> {out_csv}")
-        anchors.sweep_to_csv(images, method, out_csv, args.k_min, args.k_max)
+            if not args.jxl_substitute:
+                print(f"[anchors] skipping {method}: cjxl/djxl not on PATH "
+                      f"(pass --jxl-substitute for the in-repo stand-in)")
+                continue
+            label, jxl_codec = "JPEGXLsub", anchors.jxl_substitute_band_codec()
+        out_csv = os.path.join(args.output_dir, f"{label}_{n_pts}rps.csv")
+        print(f"[anchors] {label} -> {out_csv}")
+        anchors.sweep_to_csv(images, method, out_csv, args.k_min, args.k_max,
+                             jxl_band_codec=jxl_codec)
     return 0
 
 

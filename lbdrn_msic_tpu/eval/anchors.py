@@ -21,6 +21,7 @@ points are the comparable artifact.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import struct
@@ -102,6 +103,7 @@ def jpegxl_available() -> bool:
 def anchor_encode(
     img: np.ndarray, method: str, K: int = 1,
     q: Optional[float] = None, d: Optional[float] = None,
+    jxl_band_codec=None,
 ) -> bytes:
     """img: (C, H, W) uint16 -> anchor bitstream.
 
@@ -129,11 +131,14 @@ def anchor_encode(
     if method == "JPEG2000":
         return _jp2_lossy_groups(img, JPEG2000_QUALITY[K - 1] if q is None else q)
     if method == "JPEGXL":
-        return _jpegxl_encode(img, JPEGXL_DISTANCE[K - 1] if d is None else d)
+        return _jpegxl_encode(
+            img, JPEGXL_DISTANCE[K - 1] if d is None else d,
+            band_codec=jxl_band_codec,
+        )
     raise ValueError(f"unknown anchor method {method!r}")
 
 
-def anchor_decode(data: bytes, method: str) -> np.ndarray:
+def anchor_decode(data: bytes, method: str, jxl_band_codec=None) -> np.ndarray:
     if method in ("Baseline", "JPEG2000star"):
         n_hdr = data[0]
         if method == "JPEG2000star":
@@ -150,29 +155,85 @@ def anchor_decode(data: bytes, method: str) -> np.ndarray:
     if method == "JPEG2000":
         return _jp2_lossy_decode(data).astype(np.uint16)
     if method == "JPEGXL":
-        return _jpegxl_decode(data)
+        return _jpegxl_decode(data, band_codec=jxl_band_codec)
     raise ValueError(f"unknown anchor method {method!r}")
 
 
-def _jpegxl_encode(img: np.ndarray, distance: float, effort: int = 7) -> bytes:
-    """Per-band cjxl, 4-byte band lengths (reference SOTA.py:86-115)."""
-    if not jpegxl_available():
-        raise RuntimeError("cjxl/djxl not found on PATH; JPEGXL anchor unavailable")
+def _cjxl_band_encode(band: np.ndarray, distance: float, effort: int = 7) -> bytes:
+    """One band through the real cjxl CLI (reference SOTA.py:95)."""
     import cv2
 
-    c = img.shape[0]
-    payloads = []
     with tempfile.TemporaryDirectory() as td:
-        for b in range(c):
-            png = os.path.join(td, f"band{b}.png")
-            jxl = os.path.join(td, f"band{b}.jxl")
-            cv2.imwrite(png, img[b])
-            subprocess.run(
-                ["cjxl", png, jxl, "-e", str(effort), "-d", str(distance)],
-                check=True, capture_output=True,
+        png = os.path.join(td, "band.png")
+        jxl = os.path.join(td, "band.jxl")
+        cv2.imwrite(png, band)
+        subprocess.run(
+            ["cjxl", png, jxl, "-e", str(effort), "-d", str(distance)],
+            check=True, capture_output=True,
+        )
+        with open(jxl, "rb") as f:
+            return f.read()
+
+
+def _djxl_band_decode(data: bytes) -> np.ndarray:
+    import cv2
+
+    with tempfile.TemporaryDirectory() as td:
+        jxl = os.path.join(td, "band.jxl")
+        png = os.path.join(td, "band.png")
+        with open(jxl, "wb") as f:
+            f.write(data)
+        subprocess.run(["djxl", jxl, png], check=True, capture_output=True)
+        return cv2.imread(png, cv2.IMREAD_UNCHANGED)
+
+
+def jxl_substitute_band_codec():
+    """In-repo stand-in for cjxl/djxl: a uniform quantizer (step derived
+    monotonically from the butteraugli distance knob) whose indices are
+    losslessly coded by the native LPC coder.
+
+    This is NOT JPEG XL — it exists so the JPEGXL anchor slot (container
+    layout, per-band sizes, RD sweep, CSV emission) runs end-to-end in
+    runtimes without the libjxl CLIs; results are labeled JPEGXLsub.
+    Returns (encode(band, distance) -> bytes, decode(bytes) -> band).
+    """
+    from lbdrn_msic_tpu.codecs import lpc
+
+    def enc(band: np.ndarray, distance: float) -> bytes:
+        # reference distances 0.01..0.24 (SOTA.py:87) -> steps 20..491 on
+        # 16-bit samples: spans a PSNR ladder comparable to the real table
+        step = max(1, int(round(distance * 2048)))
+        idx = ((band.astype(np.int32) + step // 2) // step).astype(np.uint16)
+        return step.to_bytes(2, "big") + lpc.encode(idx[None])
+
+    def dec(data: bytes) -> np.ndarray:
+        step = int.from_bytes(data[:2], "big")
+        idx = lpc.decode(data[2:]).astype(np.int32)
+        return np.clip(idx[0] * step, 0, 65535).astype(np.uint16)
+
+    return enc, dec
+
+
+def _jpegxl_encode(
+    img: np.ndarray, distance: float, effort: int = 7, band_codec=None
+) -> bytes:
+    """Per-band coding, 4-byte band lengths (reference SOTA.py:86-115).
+
+    `band_codec`: optional (encode, decode) pair replacing the cjxl CLI —
+    see jxl_substitute_band_codec.  The container layout is identical
+    either way.
+    """
+    if band_codec is None:
+        if not jpegxl_available():
+            raise RuntimeError(
+                "cjxl/djxl not found on PATH; JPEGXL anchor unavailable "
+                "(use jxl_substitute_band_codec() for the substitute)"
             )
-            with open(jxl, "rb") as f:
-                payloads.append(f.read())
+        enc = functools.partial(_cjxl_band_encode, effort=effort)
+    else:
+        enc = band_codec[0]
+    c = img.shape[0]
+    payloads = [enc(img[b], distance) for b in range(c)]
     out = bytearray()
     out.append(2 + 4 * (c - 1))
     out.append(c)
@@ -183,11 +244,16 @@ def _jpegxl_encode(img: np.ndarray, distance: float, effort: int = 7) -> bytes:
     return bytes(out)
 
 
-def _jpegxl_decode(data: bytes) -> np.ndarray:
-    if not jpegxl_available():
-        raise RuntimeError("cjxl/djxl not found on PATH; JPEGXL anchor unavailable")
-    import cv2
-
+def _jpegxl_decode(data: bytes, band_codec=None) -> np.ndarray:
+    if band_codec is None:
+        if not jpegxl_available():
+            raise RuntimeError(
+                "cjxl/djxl not found on PATH; JPEGXL anchor unavailable "
+                "(use jxl_substitute_band_codec() for the substitute)"
+            )
+        dec = _djxl_band_decode
+    else:
+        dec = band_codec[1]
     c = data[1]
     ptr = 2
     sizes = []
@@ -196,17 +262,11 @@ def _jpegxl_decode(data: bytes) -> np.ndarray:
         ptr += 4
     rest = data[ptr:]
     bands = []
-    with tempfile.TemporaryDirectory() as td:
-        for b in range(c):
-            chunk = rest[: sizes[b]] if b < c - 1 else rest
-            if b < c - 1:
-                rest = rest[sizes[b] :]
-            jxl = os.path.join(td, f"band{b}.jxl")
-            png = os.path.join(td, f"band{b}.png")
-            with open(jxl, "wb") as f:
-                f.write(chunk)
-            subprocess.run(["djxl", jxl, png], check=True, capture_output=True)
-            bands.append(cv2.imread(png, cv2.IMREAD_UNCHANGED))
+    for b in range(c):
+        chunk = rest[: sizes[b]] if b < c - 1 else rest
+        if b < c - 1:
+            rest = rest[sizes[b] :]
+        bands.append(dec(chunk))
     return np.stack(bands, 0).astype(np.uint16)
 
 
@@ -220,7 +280,7 @@ def eval_rd(img: np.ndarray, stream: bytes, recon: np.ndarray) -> Tuple[float, f
 
 def sweep_to_csv(
     images: dict[str, np.ndarray], method: str, out_csv: str,
-    k_min: int = 1, k_max: int = 11,
+    k_min: int = 1, k_max: int = 11, jxl_band_codec=None,
 ) -> str:
     """RD sweep -> CSV in the reference's {method}_11rps.csv schema
     (rows K1..K11, columns {name}_{MSE,PSNR,bpsp,bits})."""
@@ -235,8 +295,8 @@ def sweep_to_csv(
             row = [f"K{K}"]
             for n in names:
                 img = images[n]
-                stream = anchor_encode(img, method, K)
-                recon = anchor_decode(stream, method)
+                stream = anchor_encode(img, method, K, jxl_band_codec=jxl_band_codec)
+                recon = anchor_decode(stream, method, jxl_band_codec=jxl_band_codec)
                 mse, psnr, bits, bpsp = eval_rd(img, stream, recon)
                 row += [mse, psnr, bpsp, bits]
             w.writerow(row)

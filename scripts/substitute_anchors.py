@@ -16,6 +16,9 @@ genuine codecs, producing real (if deliberately weak) anchor columns:
   half-width tau (the same |error| <= tau guarantee DLPR offers) over the
   first 3 bands, indices coded losslessly by the in-repo LPC coder; extra
   bands LPC-lossless.  tau=0 is exactly lossless.
+- JPEGXL slot: the per-band container/sweep path (reference SOTA.py:86-115)
+  driven with eval.anchors.jxl_substitute_band_codec (uniform quantizer +
+  LPC); emits JPEGXLsub_11rps.csv in the reference CSV schema.
 
 Usage: python scripts/substitute_anchors.py [--size 256] [--scenes 2]
        [--out validation]
@@ -108,6 +111,13 @@ def main() -> int:
         out_csv=dlpr_csv,
     )
     print(f"wrote {dlpr_csv}")
+
+    from lbdrn_msic_tpu.eval.anchors import jxl_substitute_band_codec, sweep_to_csv
+
+    jxl_csv = os.path.join(args.out, "JPEGXLsub_11rps.csv")
+    sweep_to_csv(images, "JPEGXL", jxl_csv,
+                 jxl_band_codec=jxl_substitute_band_codec())
+    print(f"wrote {jxl_csv}")
     return 0
 
 

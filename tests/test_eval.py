@@ -57,6 +57,40 @@ def test_jpegxl_gated():
         anchors.anchor_encode(img, "JPEGXL", K=1)
 
 
+def test_jpegxl_substitute_roundtrip():
+    """The JPEGXL slot's container/sweep path driven end-to-end with the
+    in-repo substitute band codec (no cjxl/djxl needed)."""
+    img = synth_scene(72, 56, channels=4, effective_bits=12, seed=34)
+    codec = anchors.jxl_substitute_band_codec()
+    streams = {
+        K: anchors.anchor_encode(img, "JPEGXL", K, jxl_band_codec=codec)
+        for K in (1, 5, 11)
+    }
+    psnrs, sizes = {}, {}
+    for K, s in streams.items():
+        rec = anchors.anchor_decode(s, "JPEGXL", jxl_band_codec=codec)
+        assert rec.shape == img.shape and rec.dtype == np.uint16
+        psnrs[K], sizes[K] = psnr(img, rec), len(s)
+    # the distance table is monotone -> PSNR falls, size falls with K
+    assert psnrs[1] > psnrs[5] > psnrs[11]
+    assert sizes[1] > sizes[5] > sizes[11]
+    # container layout matches the reference's (header_len, n_bands, sizes)
+    s = streams[5]
+    assert s[0] == 2 + 4 * (img.shape[0] - 1) and s[1] == img.shape[0]
+
+
+def test_jpegxl_substitute_sweep_csv(tmp_path):
+    img = synth_scene(48, 40, channels=2, effective_bits=12, seed=35)
+    out = anchors.sweep_to_csv(
+        {"s": img}, "JPEGXL", str(tmp_path / "JPEGXLsub_3rps.csv"),
+        k_min=1, k_max=3, jxl_band_codec=anchors.jxl_substitute_band_codec(),
+    )
+    with open(out) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "K,s_MSE,s_PSNR,s_bpsp,s_bits"
+    assert len(lines) == 4 and lines[1].startswith("K1,")
+
+
 def test_anchor_sweep_csv(tmp_path):
     imgs = {"tiny": synth_scene(48, 48, channels=2, effective_bits=12, seed=34)}
     out = anchors.sweep_to_csv(imgs, "Baseline", str(tmp_path / "b.csv"),
