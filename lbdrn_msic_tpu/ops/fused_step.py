@@ -264,6 +264,397 @@ def fused_train_step(
     )
 
 
+def _kernel_multi(
+    n_layers: int,
+    w0s: Tuple[float, ...],
+    *refs,
+):
+    """Multi-step kernel body: grid (k,), one TRAINING STEP per grid step.
+
+    Params and Adam state live in the (constant-index) output blocks in
+    VMEM across the whole call: copied in from the aliased inputs at s == 0,
+    updated in place every step, flushed to HBM once at the end.  The
+    per-step batch streams in as pipelined (1, B, F) blocks, so the next
+    step's DMA overlaps this step's compute — per-call launch overhead is
+    paid once for k steps instead of once per step (measured ~45 us/call
+    on v5e through the remote runtime; scripts/profiling/kernel_prof.py).
+    """
+    L = n_layers
+    (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
+    pos = 4
+    w_in = refs[pos : pos + L]; pos += L
+    b_in = refs[pos : pos + L]; pos += L
+    mw_in = refs[pos : pos + L]; pos += L
+    vw_in = refs[pos : pos + L]; pos += L
+    mb_in = refs[pos : pos + L]; pos += L
+    vb_in = refs[pos : pos + L]; pos += L
+    nw = refs[pos : pos + L]; pos += L
+    nb = refs[pos : pos + L]; pos += L
+    nmw = refs[pos : pos + L]; pos += L
+    nvw = refs[pos : pos + L]; pos += L
+    nmb = refs[pos : pos + L]; pos += L
+    nvb = refs[pos : pos + L]; pos += L
+    loss_ref = refs[pos]
+
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _load():
+        for src, dst in (
+            (w_in, nw), (b_in, nb), (mw_in, nmw),
+            (vw_in, nvw), (mb_in, nmb), (vb_in, nvb),
+        ):
+            for l in range(L):
+                dst[l][...] = src[l][...]
+
+    # scalars live as the full (k, 4) SMEM block, indexed per step
+    lr = scalars_ref[s, 0]
+    c1 = scalars_ref[s, 1]  # 1/(1-b1^t) for THIS step
+    c2 = scalars_ref[s, 2]
+    inv_scale = scalars_ref[s, 3]  # 1/(count*C) for THIS step's mask
+
+    x = x_ref[0]
+    y = y_ref[0]
+    mask = mask_ref[0]  # (B, 1)
+
+    zs: List[jnp.ndarray] = []
+    h = x
+    for l in range(L - 1):
+        z = (
+            jnp.dot(h, nw[l][...], preferred_element_type=jnp.float32)
+            + nb[l][...]
+        )
+        zs.append(z)
+        h = jnp.sin(w0s[l] * z)
+        zs.append(h)
+    z_last = (
+        jnp.dot(h, nw[L - 1][...], preferred_element_type=jnp.float32)
+        + nb[L - 1][...]
+    )
+    p = _sigmoid(z_last)
+
+    diff = (p - y) * mask
+    loss_ref[s, 0] = jnp.sum(diff * diff) * inv_scale
+
+    # backward: whole batch in one tile, so gradients are direct products
+    g = 2.0 * diff * (p * (1.0 - p))
+    dws: List[jnp.ndarray] = [None] * L
+    dbs: List[jnp.ndarray] = [None] * L
+    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
+    dws[L - 1] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+    dbs[L - 1] = jnp.sum(g, axis=0, keepdims=True)
+    for l in range(L - 2, -1, -1):
+        g = jnp.dot(g, nw[l + 1][...].T, preferred_element_type=jnp.float32)
+        z = zs[2 * l]
+        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
+        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
+        dws[l] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+        dbs[l] = jnp.sum(g, axis=0, keepdims=True)
+
+    for l in range(L):
+        for grad, theta, m, v in (
+            (dws[l] * inv_scale, nw[l], nmw[l], nvw[l]),
+            (dbs[l] * inv_scale, nb[l], nmb[l], nvb[l]),
+        ):
+            m_new = ADAM_B1 * m[...] + (1.0 - ADAM_B1) * grad
+            v_new = ADAM_B2 * v[...] + (1.0 - ADAM_B2) * grad * grad
+            theta[...] = theta[...] - lr * (m_new * c1) / (
+                jnp.sqrt(v_new * c2) + ADAM_EPS
+            )
+            m[...] = m_new
+            v[...] = v_new
+
+
+@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+def fused_multi_step(
+    params: SirenParams,
+    m_state: SirenParams,
+    v_state: SirenParams,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    masks: jnp.ndarray,
+    lrs: jnp.ndarray,
+    step0: jnp.ndarray,
+    mspec: ModelSpec,
+    dim_out: int,
+):
+    """k sequential fused training steps in ONE pallas_call.
+
+    X: (k, B, padded_in) f32; Y: (k, B, dim_out) f32; masks: (k, B) f32;
+    lrs: (k,) per-step learning rates; step0: 1-indexed Adam timestep of
+    the first step.  Requires the whole batch to fit one VMEM tile
+    (``pick_tile(B, ...) == B`` — callers fall back to fused_train_step
+    otherwise).  Returns (params', m', v', losses (k,)).
+
+    Semantically identical to k calls of fused_train_step: the same
+    forward/backward/Adam math runs per grid step, only the launch
+    overhead and HBM round trips of params/optimizer state are saved.
+    """
+    L = mspec.num_layers + 1
+    w0s = tuple(
+        [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
+    )
+    k, B = X.shape[0], X.shape[1]
+    assert pick_tile(B, X.shape[-1], dim_out, mspec) == B, (
+        f"batch {B} does not fit one VMEM tile; use fused_train_step"
+    )
+
+    t = step0.astype(jnp.float32) + jnp.arange(k, dtype=jnp.float32)
+    c1 = 1.0 / (1.0 - ADAM_B1**t)
+    c2 = 1.0 / (1.0 - ADAM_B2**t)
+    cnt = jnp.maximum(masks.sum(axis=1), 1.0)
+    inv_scale = 1.0 / (cnt * dim_out)
+    scalars = jnp.stack(
+        [lrs.astype(jnp.float32), c1, c2, inv_scale], axis=1
+    )  # (k, 4)
+
+    masks3 = masks.reshape(k, B, 1)
+    ws, bs = list(params.weights), [b.reshape(1, -1) for b in params.biases]
+    mws, mbs = list(m_state.weights), [b.reshape(1, -1) for b in m_state.biases]
+    vws, vbs = list(v_state.weights), [b.reshape(1, -1) for b in v_state.biases]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda s: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    step_tile = lambda width: pl.BlockSpec(
+        (1, B, width), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = (
+        [pl.BlockSpec((k, 4), lambda s: (0, 0), memory_space=pltpu.SMEM)]
+        + [step_tile(X.shape[-1]), step_tile(Y.shape[-1]), step_tile(1)]
+        + [full(a) for a in ws + bs + mws + vws + mbs + vbs]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(a.shape, a.dtype)
+         for a in ws + bs + mws + vws + mbs + vbs]
+        + [jax.ShapeDtypeStruct((k, 1), jnp.float32)]
+    )
+    out_specs = (
+        [full(a) for a in ws + bs + mws + vws + mbs + vbs]
+        + [pl.BlockSpec((k, 1), lambda s: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    aliases = {4 + i: i for i in range(6 * L)}
+
+    kernel = functools.partial(_kernel_multi, L, w0s)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(k,),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+        ),
+    )(scalars, X, Y, masks3, *ws, *bs, *mws, *vws, *mbs, *vbs)
+
+    new_w = list(outs[0:L])
+    new_b = [b.reshape(-1) for b in outs[L : 2 * L]]
+    new_mw = list(outs[2 * L : 3 * L])
+    new_vw = list(outs[3 * L : 4 * L])
+    new_mb = [b.reshape(-1) for b in outs[4 * L : 5 * L]]
+    new_vb = [b.reshape(-1) for b in outs[5 * L : 6 * L]]
+    losses = outs[6 * L].reshape(k)
+    return (
+        SirenParams(weights=new_w, biases=new_b),
+        SirenParams(weights=new_mw, biases=new_mb),
+        SirenParams(weights=new_vw, biases=new_vb),
+        losses,
+    )
+
+
+def _kernel_expert_multi(
+    n_layers: int,
+    w0s: Tuple[float, ...],
+    *refs,
+):
+    """Expert multi-step body: grid (E, k), s fastest — expert e runs its k
+    sequential steps with params/Adam state resident in the (1, ...) output
+    blocks, which Pallas flushes when the expert index advances.  Same math
+    as _kernel_multi per expert."""
+    L = n_layers
+    (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
+    pos = 4
+    w_in = refs[pos : pos + L]; pos += L
+    b_in = refs[pos : pos + L]; pos += L
+    mw_in = refs[pos : pos + L]; pos += L
+    vw_in = refs[pos : pos + L]; pos += L
+    mb_in = refs[pos : pos + L]; pos += L
+    vb_in = refs[pos : pos + L]; pos += L
+    nw = refs[pos : pos + L]; pos += L
+    nb = refs[pos : pos + L]; pos += L
+    nmw = refs[pos : pos + L]; pos += L
+    nvw = refs[pos : pos + L]; pos += L
+    nmb = refs[pos : pos + L]; pos += L
+    nvb = refs[pos : pos + L]; pos += L
+    loss_ref = refs[pos]
+
+    e = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _load():
+        for src, dst in (
+            (w_in, nw), (b_in, nb), (mw_in, nmw),
+            (vw_in, nvw), (mb_in, nmb), (vb_in, nvb),
+        ):
+            for l in range(L):
+                dst[l][0] = src[l][0]
+
+    # scalars live as the full (k, 4) SMEM block, indexed per step
+    lr = scalars_ref[s, 0]
+    c1 = scalars_ref[s, 1]
+    c2 = scalars_ref[s, 2]
+    inv_scale = scalars_ref[s, 3]
+
+    x = x_ref[0, 0]
+    y = y_ref[0, 0]
+    mask = mask_ref[0]  # (B, 1), shared across experts
+
+    zs: List[jnp.ndarray] = []
+    h = x
+    for l in range(L - 1):
+        z = (
+            jnp.dot(h, nw[l][0], preferred_element_type=jnp.float32)
+            + nb[l][0]
+        )
+        zs.append(z)
+        h = jnp.sin(w0s[l] * z)
+        zs.append(h)
+    z_last = (
+        jnp.dot(h, nw[L - 1][0], preferred_element_type=jnp.float32)
+        + nb[L - 1][0]
+    )
+    p = _sigmoid(z_last)
+
+    diff = (p - y) * mask
+    loss_ref[e, s] = jnp.sum(diff * diff) * inv_scale
+
+    g = 2.0 * diff * (p * (1.0 - p))
+    dws: List[jnp.ndarray] = [None] * L
+    dbs: List[jnp.ndarray] = [None] * L
+    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
+    dws[L - 1] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+    dbs[L - 1] = jnp.sum(g, axis=0, keepdims=True)
+    for l in range(L - 2, -1, -1):
+        g = jnp.dot(g, nw[l + 1][0].T, preferred_element_type=jnp.float32)
+        z = zs[2 * l]
+        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
+        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
+        dws[l] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
+        dbs[l] = jnp.sum(g, axis=0, keepdims=True)
+
+    for l in range(L):
+        for grad, theta, m, v in (
+            (dws[l] * inv_scale, nw[l], nmw[l], nvw[l]),
+            (dbs[l] * inv_scale, nb[l], nmb[l], nvb[l]),
+        ):
+            m_new = ADAM_B1 * m[0] + (1.0 - ADAM_B1) * grad
+            v_new = ADAM_B2 * v[0] + (1.0 - ADAM_B2) * grad * grad
+            theta[0] = theta[0] - lr * (m_new * c1) / (
+                jnp.sqrt(v_new * c2) + ADAM_EPS
+            )
+            m[0] = m_new
+            v[0] = v_new
+
+
+@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+def fused_expert_multi_step(
+    params: SirenParams,
+    m_state: SirenParams,
+    v_state: SirenParams,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    masks: jnp.ndarray,
+    lrs: jnp.ndarray,
+    step0: jnp.ndarray,
+    mspec: ModelSpec,
+    dim_out: int,
+):
+    """k sequential steps for E experts in ONE pallas_call (grid (E, k)).
+
+    params/m/v leaves carry a leading expert axis; X: (k, E, B, padded_in)
+    (step-major — the natural vmap-over-chunk layout); Y: (k, E, B, dim_out);
+    masks: (k, B) shared across experts; lrs: (k,); step0 as in
+    fused_multi_step.  Returns (params', m', v', losses (E, k))."""
+    L = mspec.num_layers + 1
+    w0s = tuple(
+        [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
+    )
+    k, E, B = X.shape[0], X.shape[1], X.shape[2]
+    assert pick_tile(B, X.shape[-1], dim_out, mspec) == B, (
+        f"batch {B} does not fit one VMEM tile; use fused_expert_step"
+    )
+
+    t = step0.astype(jnp.float32) + jnp.arange(k, dtype=jnp.float32)
+    c1 = 1.0 / (1.0 - ADAM_B1**t)
+    c2 = 1.0 / (1.0 - ADAM_B2**t)
+    cnt = jnp.maximum(masks.sum(axis=1), 1.0)
+    inv_scale = 1.0 / (cnt * dim_out)
+    scalars = jnp.stack(
+        [lrs.astype(jnp.float32), c1, c2, inv_scale], axis=1
+    )  # (k, 4)
+
+    masks3 = masks.reshape(k, B, 1)
+    ws = list(params.weights)
+    bs = [b.reshape(E, 1, -1) for b in params.biases]
+    mws, mbs = list(m_state.weights), [b.reshape(E, 1, -1) for b in m_state.biases]
+    vws, vbs = list(v_state.weights), [b.reshape(E, 1, -1) for b in v_state.biases]
+
+    expert_full = lambda a: pl.BlockSpec(
+        (1, *a.shape[1:]), lambda e, s: (e,) + (0,) * (a.ndim - 1),
+        memory_space=pltpu.VMEM,
+    )
+    batch_tile = lambda width: pl.BlockSpec(
+        (1, 1, B, width), lambda e, s: (s, e, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    in_specs = (
+        [pl.BlockSpec((k, 4), lambda e, s: (0, 0), memory_space=pltpu.SMEM)]
+        + [batch_tile(X.shape[-1]), batch_tile(Y.shape[-1]),
+           pl.BlockSpec((1, B, 1), lambda e, s: (s, 0, 0),
+                        memory_space=pltpu.VMEM)]
+        + [expert_full(a) for a in ws + bs + mws + vws + mbs + vbs]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(a.shape, a.dtype)
+         for a in ws + bs + mws + vws + mbs + vbs]
+        + [jax.ShapeDtypeStruct((E, k), jnp.float32)]
+    )
+    out_specs = (
+        [expert_full(a) for a in ws + bs + mws + vws + mbs + vbs]
+        + [pl.BlockSpec((E, k), lambda e, s: (0, 0), memory_space=pltpu.SMEM)]
+    )
+    aliases = {4 + i: i for i in range(6 * L)}
+
+    kernel = functools.partial(_kernel_expert_multi, L, w0s)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(E, k),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+        ),
+    )(scalars, X, Y, masks3, *ws, *bs, *mws, *vws, *mbs, *vbs)
+
+    new_w = list(outs[0:L])
+    new_b = [b.reshape(E, -1) for b in outs[L : 2 * L]]
+    new_mw = list(outs[2 * L : 3 * L])
+    new_vw = list(outs[3 * L : 4 * L])
+    new_mb = [b.reshape(E, -1) for b in outs[4 * L : 5 * L]]
+    new_vb = [b.reshape(E, -1) for b in outs[5 * L : 6 * L]]
+    losses = outs[6 * L]  # (E, k)
+    return (
+        SirenParams(weights=new_w, biases=new_b),
+        SirenParams(weights=new_mw, biases=new_mb),
+        SirenParams(weights=new_vw, biases=new_vb),
+        losses,
+    )
+
+
 def _kernel_experts(
     n_layers: int,
     w0s: Tuple[float, ...],

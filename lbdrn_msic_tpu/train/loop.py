@@ -164,6 +164,7 @@ def fit_core(
     axis_name: str | None = None,
     axis_size: int = 1,
     use_fused: bool = False,
+    multi_k: int | None = None,
 ) -> FitResult:
     """Overfit one network to one image tile; everything on device.
 
@@ -255,6 +256,23 @@ def fit_core(
 
         if axis_name is not None or not pick_tile(bs_local, padded_in, C, mspec):
             use_fused = False
+
+    # multi-step chunking: k steps per pallas_call, available whenever the
+    # whole batch fits one VMEM tile; `multi_k` opts in (None/0 disables).
+    # Measured on v5e (scripts/profiling/multik_ab.py, bench config): the
+    # per-step path wins — 660 ms vs 790/804/890 ms at k=4/16/64 — so the
+    # default stays 0; the chunked kernel remains for shapes where call
+    # overhead dominates harder (tiny batches / many tiny epochs).
+    if use_fused:
+        from lbdrn_msic_tpu.ops.fused_step import pick_tile as _pt
+
+        if _pt(bs_local, padded_in, C, mspec) != bs_local:
+            multi_k = 0
+        elif multi_k is None:
+            multi_k = 0
+    else:
+        multi_k = 0
+    multi_k = min(multi_k, steps_per_epoch)
 
     key, init_key = jax.random.split(key)
     params = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)
@@ -365,6 +383,38 @@ def fit_core(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
+    def chunk_step(carry, perm_chunk):
+        """k training steps as ONE pallas_call (fused multi-step path)."""
+        from lbdrn_msic_tpu.ops.fused_step import fused_multi_step
+
+        params, (m_state, v_state, count) = carry
+        k = perm_chunk.shape[0]
+        X, Yc, Mc = jax.vmap(make_batch)(perm_chunk)
+        lrs = schedule(count + jnp.arange(k))
+        params, m_state, v_state, losses = fused_multi_step(
+            params, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C
+        )
+        return (params, (m_state, v_state, count + k)), losses
+
+    def run_epoch_steps(params, opt_state, perm):
+        if multi_k:
+            n_chunks = steps_per_epoch // multi_k
+            rem = steps_per_epoch - n_chunks * multi_k
+            chunks = perm[: n_chunks * multi_k].reshape(
+                n_chunks, multi_k, bs // g
+            )
+            (params, opt_state), losses = jax.lax.scan(
+                chunk_step, (params, opt_state), chunks
+            )
+            losses = losses.reshape(-1)
+            if rem:
+                (params, opt_state), rl = chunk_step(
+                    (params, opt_state), perm[n_chunks * multi_k :]
+                )
+                losses = jnp.concatenate([losses, rl])
+            return (params, opt_state), losses
+        return jax.lax.scan(train_step, (params, opt_state), perm)
+
     def epoch_body(carry, epoch_idx):
         params, opt_state, best_params, best_mse, best_epoch, key = carry
         key, pk = jax.random.split(key)
@@ -372,9 +422,7 @@ def fit_core(
         perm = jnp.concatenate(
             [perm, jnp.full((pad_n_g - n_g,), n_g, dtype=perm.dtype)]
         ).reshape(steps_per_epoch, bs // g)
-        (params, opt_state), losses = jax.lax.scan(
-            train_step, (params, opt_state), perm
-        )
+        (params, opt_state), losses = run_epoch_steps(params, opt_state, perm)
 
         if tspec.epochs == 1:
             best_params, best_mse = params, losses.mean()
@@ -433,7 +481,7 @@ def fit_core(
     jax.jit,
     static_argnames=(
         "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes",
-        "use_fused", "staging",
+        "use_fused", "staging", "multi_k",
     ),
 )
 def fit_rate_experts(
@@ -449,6 +497,7 @@ def fit_rate_experts(
     tap_dtypes: tuple,
     use_fused: bool = False,
     staging: str = "full",
+    multi_k: int = 0,
 ) -> FitResult:
     """Train one network per rate point K — all E=len(Ks) experts batched in
     ONE jitted program on ONE chip.
@@ -542,6 +591,22 @@ def fit_rate_experts(
 
         if not pick_tile(bs, padded_in, C, mspec):
             use_fused = False
+
+    # multi-step chunking (see fit_core: measured slower than per-step on
+    # v5e at the bench shapes, so opt-in only); the chunk is capped so the
+    # staged (k, E, bs, padded_in) batch buffer stays under ~512 MB
+    if use_fused and multi_k:
+        from lbdrn_msic_tpu.ops.fused_step import pick_tile as _pt
+
+        if _pt(bs, padded_in, C, mspec) == bs:
+            cap = max(1, (512 << 20) // (E * bs * padded_in * 4))
+            multi_k = min(multi_k, cap, steps_per_epoch)
+            if multi_k < 2:
+                multi_k = 0
+        else:
+            multi_k = 0
+    else:
+        multi_k = 0
 
     schedule = make_lr_schedule(tspec, steps_per_epoch)
     if use_fused:
@@ -644,6 +709,36 @@ def fit_rate_experts(
         updates, opt_state = opt.update(grads, opt_state, paramsE)
         return (optax.apply_updates(paramsE, updates), opt_state), loss_e
 
+    def chunk_step(carry, perm_chunk):
+        """k expert steps as ONE pallas_call (fused multi-step path)."""
+        from lbdrn_msic_tpu.ops.fused_step import fused_expert_multi_step
+
+        paramsE, (m_state, v_state, count) = carry
+        k = perm_chunk.shape[0]
+        X, Yc, Mc = jax.vmap(make_batch)(perm_chunk)  # (k, E, bs, F) etc.
+        lrs = schedule(count + jnp.arange(k))
+        paramsE, m_state, v_state, losses = fused_expert_multi_step(
+            paramsE, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C
+        )  # losses: (E, k)
+        return (paramsE, (m_state, v_state, count + k)), jnp.transpose(losses)
+
+    def run_epoch_steps(paramsE, opt_state, perm):
+        if multi_k:
+            n_chunks = steps_per_epoch // multi_k
+            rem = steps_per_epoch - n_chunks * multi_k
+            chunks = perm[: n_chunks * multi_k].reshape(n_chunks, multi_k, bpg)
+            (paramsE, opt_state), losses = jax.lax.scan(
+                chunk_step, (paramsE, opt_state), chunks
+            )  # (n_chunks, k, E)
+            losses = losses.reshape(-1, E)
+            if rem:
+                (paramsE, opt_state), rl = chunk_step(
+                    (paramsE, opt_state), perm[n_chunks * multi_k :]
+                )
+                losses = jnp.concatenate([losses, rl])
+            return (paramsE, opt_state), losses
+        return jax.lax.scan(train_step, (paramsE, opt_state), perm)
+
     def epoch_body(carry, epoch_idx):
         paramsE, opt_state, best_params, best_mse, best_epoch, key = carry
         key, pk = jax.random.split(key)
@@ -651,8 +746,8 @@ def fit_rate_experts(
         perm = jnp.concatenate(
             [perm, jnp.full((pad_n_g - n_g,), n_g, dtype=perm.dtype)]
         ).reshape(steps_per_epoch, bpg)
-        (paramsE, opt_state), losses = jax.lax.scan(
-            train_step, (paramsE, opt_state), perm
+        (paramsE, opt_state), losses = run_epoch_steps(
+            paramsE, opt_state, perm
         )  # losses: (steps, E)
 
         if tspec.epochs == 1:
@@ -712,7 +807,8 @@ def fit_rate_experts(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fspec", "mspec", "tspec", "H", "W", "C", "staging", "tap_dtype", "use_fused"
+        "fspec", "mspec", "tspec", "H", "W", "C", "staging", "tap_dtype",
+        "use_fused", "multi_k",
     ),
 )
 def fit(
@@ -730,10 +826,11 @@ def fit(
     staging: str = "full",
     tap_dtype: str = "int16",
     use_fused: bool = False,
+    multi_k: int | None = None,
 ) -> FitResult:
     """Single-device fit (see fit_core)."""
     return fit_core(
         plane, plane_scale, labels, label_scale, key,
         fspec, mspec, tspec, H, W, C, staging, tap_dtype,
-        use_fused=use_fused,
+        use_fused=use_fused, multi_k=multi_k,
     )

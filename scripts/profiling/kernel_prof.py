@@ -25,8 +25,35 @@ B, F, BC, C, L = 8192, 128, 64, 4, 3
 W0S = (30.0, 30.0, 0.0)
 ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
 
+_INV2PI = 0.15915494309189535
+_SIN_C = (6.283183466e+00, -4.134148036e+01, 8.159765788e+01,
+          -7.659492822e+01, 4.126992957e+01, -1.237249482e+01)
+
+
+def _fast_sin(x):
+    t = x * _INV2PI
+    t = t - jnp.round(t)
+    t2 = t * t
+    p = jnp.float32(_SIN_C[5])
+    for k in (4, 3, 2, 1, 0):
+        p = p * t2 + jnp.float32(_SIN_C[k])
+    return t * p
+
+
+def _fast_cos(x):
+    return _fast_sin(x + jnp.float32(jnp.pi / 2))
+
 
 def make_kernel(mode: str, use_dg: bool):
+    prec = {
+        "prec_default": jax.lax.Precision.DEFAULT,
+        "prec_high": jax.lax.Precision.HIGH,
+    }.get(mode)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+
     def kernel(*refs):
         (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
         pos = 4
@@ -61,26 +88,22 @@ def make_kernel(mode: str, use_dg: bool):
         y = y_ref[...]
         mask = mask_ref[...]
 
+        sin_fn = _fast_sin if mode == "fast_full" else jnp.sin
+        cos_fn = _fast_cos if mode == "fast_full" else jnp.cos
         zs = []
         h = x
         for l in range(L - 1):
-            z = (
-                jnp.dot(h, w_refs[l][...], preferred_element_type=jnp.float32)
-                + b_refs[l][...]
-            )
+            z = dot(h, w_refs[l][...]) + b_refs[l][...]
             zs.append(z)
-            h = z if mode == "fwd_notrans" else jnp.sin(W0S[l] * z)
+            h = z if mode == "fwd_notrans" else sin_fn(W0S[l] * z)
             zs.append(h)
-        z_last = (
-            jnp.dot(h, w_refs[L - 1][...], preferred_element_type=jnp.float32)
-            + b_refs[L - 1][...]
-        )
+        z_last = dot(h, w_refs[L - 1][...]) + b_refs[L - 1][...]
         p = z_last if mode == "fwd_notrans" else 1.0 / (1.0 + jnp.exp(-z_last))
 
         diff = (p - y) * mask
         loss_acc[...] = loss_acc[...] + jnp.sum(diff * diff).reshape(1, 1)
 
-        if mode.startswith("fwd"):
+        if mode == "fwd" or mode == "fwd_notrans":
             for l in range(L):
                 nw[l][...] = w_refs[l][...]
                 nb[l][...] = b_refs[l][...]
@@ -95,9 +118,9 @@ def make_kernel(mode: str, use_dg: bool):
             if use_dg:
                 return jax.lax.dot_general(
                     a, b, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
-            return jnp.dot(a.T, b, preferred_element_type=jnp.float32)
+            return dot(a.T, b)
 
         g = 2.0 * diff * (p * (1.0 - p))
         h_in = zs[2 * (L - 2) + 1] if L > 1 else x
@@ -107,13 +130,12 @@ def make_kernel(mode: str, use_dg: bool):
             if use_dg:
                 g = jax.lax.dot_general(
                     g, w_refs[l + 1][...], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=prec,
                 )
             else:
-                g = jnp.dot(g, w_refs[l + 1][...].T,
-                            preferred_element_type=jnp.float32)
+                g = dot(g, w_refs[l + 1][...].T)
             z = zs[2 * l]
-            g = g * (W0S[l] * jnp.cos(W0S[l] * z))
+            g = g * (W0S[l] * cos_fn(W0S[l] * z))
             h_in = zs[2 * (l - 1) + 1] if l > 0 else x
             acc_dw[l][...] += dT(h_in, g)
             acc_db[l][...] += jnp.sum(g, axis=0, keepdims=True)
@@ -228,10 +250,10 @@ def main():
 
     for label, mode, use_dg, tile in (
         ("full_t", "full", False, B),
-        ("full_dg", "full", True, B),
-        ("fwd_only", "fwd", False, B),
+        ("fast_full", "fast_full", False, B),
+        ("prec_default", "prec_default", False, B),
+        ("prec_high", "prec_high", False, B),
         ("fwd_notrans", "fwd_notrans", False, B),
-        ("tile2048", "full", True, 2048),
     ):
         timed(label, lambda m=mode, d=use_dg, t=tile: run_steps(
             ws, bs_, x, y, mask, m, d, t))

@@ -14,6 +14,7 @@ Each phase is one jitted program; timed by fetching a scalar (d2h of more
 than a scalar is ~20 MB/s on the dev tunnel).  Run from /root/repo.
 """
 
+import functools
 import time
 
 import jax
@@ -136,14 +137,14 @@ def main():
 
     block_rows = min(H, max(1, (1 << 17) // max(W, 1)))
 
-    @jax.jit
-    def eval_once(params):
+    @functools.partial(jax.jit)
+    def eval_once(params, x_cache):
         return dataset_mse(
             params, plane, plane_scale, labels, label_scale, fspec, mspec,
             H, W, block_rows, padded_in, x_cache=x_cache,
         )
 
-    timed("eval_once", lambda: eval_once(params))
+    timed("eval_once", lambda: eval_once(params, x_cache))
 
     print(
         f"derived: eval marginal ~ {(t_full['fit_e10_v1'] - t_full['fit_e10_v10']) / 9 * 1e3:.1f} "

@@ -93,3 +93,27 @@ def test_loss_decreases():
             FSPEC, MSPEC, ts, 64, 64, 2)
     losses = np.asarray(r.epoch_losses)
     assert losses[-1] < losses[0]
+
+
+def test_fused_multi_step_fit_matches_xla_fit():
+    """The chunked multi-step pallas path (one call per k steps, including
+    a remainder chunk) tracks the XLA fit trajectory in interpret mode.
+    64x64 px / bs 1024 -> 4 steps/epoch = one 16-capped chunk of 4."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    plane, scale, labels, lscale = _prep(hw=(64, 64), seed=6)
+    ts = TrainSpec(epochs=2, batch_size=1024)
+    args = (plane, scale, labels, lscale, jax.random.PRNGKey(3),
+            FSPEC, MSPEC, ts, 64, 64, 2)
+    r_xla = fit(*args, use_fused=False)
+    with pltpu.force_tpu_interpret_mode():
+        r_fused = fit(*args, use_fused=True)
+    np.testing.assert_allclose(
+        np.asarray(r_fused.step_losses), np.asarray(r_xla.step_losses),
+        rtol=1e-3,
+    )
+    assert r_fused.step_losses.shape == r_xla.step_losses.shape
+    for a, b in zip(jax.tree.leaves(r_fused.params),
+                    jax.tree.leaves(r_xla.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-3)
