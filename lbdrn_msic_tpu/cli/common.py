@@ -39,6 +39,16 @@ def add_codec_args(p: argparse.ArgumentParser, encode: bool = True):
                        help="disable center subtraction (RELATIVE=False)")
         p.add_argument("--sigma", type=float, default=1.4)
         p.add_argument("--n-freq", type=int, default=12)
+        # TPU recipe (new): smooth cosine LR decay instead of the
+        # reference's StepLR; typically pairs with more epochs (-e) —
+        # the fused step is fast enough that e.g. -e 30 still encodes
+        # faster than the reference's default run (validation/RECIPE.md)
+        p.add_argument("--schedule", choices=["step", "cosine"],
+                       default="step")
+        p.add_argument("-g", "--sample-granule", type=int, default=1,
+                       help="shuffle g-pixel runs instead of single pixels "
+                            "(g=1 = reference semantics; g=8 measured at "
+                            "+0.006%% BD-Rate, VALIDATION.md)")
         # codec selection (new; carried in the v1 header)
         p.add_argument("--base-codec", choices=["jp2", "lpc"], default="jp2")
         p.add_argument("--weight-codec", choices=["fpz", "raw16"], default="fpz")
@@ -83,6 +93,8 @@ def config_from_args(args) -> CodecConfig:
             epochs=args.epochs,
             val_every=args.val_duration,
             seed=args.seed,
+            schedule=args.schedule,
+            sample_granule=args.sample_granule,
         ),
         base_codec=args.base_codec,
         weight_codec=args.weight_codec,

@@ -101,6 +101,17 @@ class TrainSpec:
     # g>1 trades a slightly correlated batch for g-fold fewer (g-fold
     # larger) gather descriptors on TPU.  batch_size must divide by it.
     sample_granule: int = 1
+    # LR schedule: "step" is the reference's StepLR (lr *= 0.1 every
+    # epochs//3 epochs, encode.py:85) — by epoch 9 of a 10-epoch run the
+    # LR is 1e-6 and training is effectively frozen.  "cosine" anneals
+    # smoothly to 0 over all steps; it changes nothing about the bitstream
+    # (the weights are the stream) and is the default of the TPU recipe
+    # (scripts/recipe_study.py quantifies the RD gain).
+    schedule: str = "step"
+
+    def __post_init__(self):
+        if self.schedule not in ("step", "cosine"):
+            raise ValueError(f"unknown LR schedule {self.schedule!r}")
 
     def lr_step_size(self) -> int:
         return max(1, self.epochs // 3)
@@ -129,14 +140,19 @@ class CodecConfig:
 
     def run_name(self, image_stem: str) -> str:
         """Output directory naming scheme, format-compatible with the
-        reference's run dirs (reference encode.py:210-213)."""
+        reference's run dirs (reference encode.py:210-213).  Non-reference
+        knobs (the cosine schedule) append a suffix so default runs keep
+        reference-identical names."""
         t = self.train
-        return (
+        name = (
             f"{image_stem}_r{self.split_ratio}_K{self.K}"
             f"_bc{self.model.base_channel}_nl{self.model.num_layers}"
             f"_D{self.features.D}_prec{self.precision}"
             f"_lr{t.lr}_bs{t.batch_size}_e{t.epochs}"
         )
+        if t.schedule != "step":
+            name += f"_{t.schedule}"
+        return name
 
 
 BASE_CODEC_IDS = {"jp2": 0, "lpc": 1}

@@ -76,8 +76,26 @@ def init_params(
     return SirenParams(weights=weights, biases=biases)
 
 
-def forward(params: SirenParams, x: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray:
-    """x: (B, padded_dim_in) -> (B, dim_out).  Hidden sin(w0*z), final sigmoid."""
+def _sin(z, fast_act: bool):
+    if fast_act:
+        from lbdrn_msic_tpu.ops.fused_step import sincos
+
+        return sincos(z)[0]
+    return jnp.sin(z)
+
+
+def forward(
+    params: SirenParams, x: jnp.ndarray, spec: ModelSpec,
+    fast_act: bool = False,
+) -> jnp.ndarray:
+    """x: (B, padded_dim_in) -> (B, dim_out).  Hidden sin(w0*z), final sigmoid.
+
+    `fast_act=True` swaps jnp.sin for the fused kernels' poly `sincos`
+    (ops/fused_step.py, |err| < ~2e-6 at SIREN preactivation ranges) — used
+    by the training loop's eval passes on the fused path so best-epoch
+    selection sees the same activation the training steps used.  Decode
+    keeps the default exact path.
+    """
     n = len(params.weights)
     h = x
     for i in range(n - 1):
@@ -86,7 +104,7 @@ def forward(params: SirenParams, x: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray
             jnp.dot(h, params.weights[i], precision=jax.lax.Precision.HIGHEST)
             + params.biases[i]
         )
-        h = jnp.sin(w0 * z)
+        h = _sin(w0 * z, fast_act)
     z = (
         jnp.dot(h, params.weights[-1], precision=jax.lax.Precision.HIGHEST)
         + params.biases[-1]
@@ -95,7 +113,8 @@ def forward(params: SirenParams, x: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray
 
 
 def forward_experts(
-    params: SirenParams, x: jnp.ndarray, spec: ModelSpec
+    params: SirenParams, x: jnp.ndarray, spec: ModelSpec,
+    fast_act: bool = False,
 ) -> jnp.ndarray:
     """Batched-expert forward: params leaves carry a leading expert axis E
     (weights[i]: (E, in_i, out_i); biases[i]: (E, out_i)); x: (E, B, padded).
@@ -116,7 +135,7 @@ def forward_experts(
             )
             + params.biases[i][:, None, :]
         )
-        h = jnp.sin(w0 * z)
+        h = _sin(w0 * z, fast_act)
     z = (
         jnp.einsum(
             "ebi,eio->ebo", h, params.weights[-1],

@@ -39,6 +39,48 @@ ADAM_EPS = 1e-8
 TILE_ALIGN = 8  # f32 sublane; batch must divide into aligned tiles
 _VMEM_BUDGET = 48 << 20
 
+# sincos: minimax polynomials on [-pi/2, pi/2] (degree 9 odd / 8 even;
+# fit residual 3.4e-9 / 4.7e-8 — below f32 roundoff).  Constants are
+# f32-rounded; _PI_LO is pi - f32(pi) so the 2-term Cody-Waite reduction
+# keeps |r| error ~ ulp(u) for the |u| < ~1e3 preactivations seen here.
+_INV_PI = 0.31830987449645996
+_PI_HI = 3.14159274101257324
+_PI_LO = -8.742277657347586e-08
+_SIN_P = (1.0, -0.16666647791862488, 0.008332899771630764,
+          -0.00019800907466560602, 2.5905085294652963e-06)
+_COS_P = (0.9999999403953552, -0.4999990463256836, 0.04166358709335327,
+          -0.001385371433570981, 2.31541689572623e-05)
+
+
+def sincos(u):
+    """(sin u, cos u) from ONE shared range reduction — the fused kernels'
+    activation path.
+
+    XLA's `jnp.sin`/`jnp.cos` each pay a full-range reduction with quadrant
+    selects; a SIREN training step needs BOTH (sin forward, cos backward) of
+    the same preactivation, and the transcendentals are ~45% of the fused
+    step's time at the bench shape (scripts/profiling/kernel_prof.py).  Here
+    u = k*pi + r with one round, sign (-1)^k folded into both results, and
+    two short Horner polynomials share r^2.
+
+    Absolute error (measured vs f64): < 2e-7 for |u| <= 3, < 2e-6 for
+    |u| <= 30, growing ~ulp(u) from the reduction (tests/test_fused_step.py
+    ::test_sincos_accuracy).  Training-loss impact is below bf16 matmul
+    noise; the pure-JAX oracle keeps exact jnp.sin (`reference_train_step`).
+    """
+    k = jnp.round(u * _INV_PI)
+    r = (u - k * _PI_HI) - k * _PI_LO
+    f = k * 0.5
+    f = f - jnp.round(f)
+    sg = 1.0 - 8.0 * (f * f)  # (-1)^k
+    r2 = r * r
+    ps = jnp.float32(_SIN_P[4])
+    pc = jnp.float32(_COS_P[4])
+    for s_c, c_c in zip(_SIN_P[3::-1], _COS_P[3::-1]):
+        ps = ps * r2 + s_c
+        pc = pc * r2 + c_c
+    return (sg * r) * ps, sg * pc
+
 
 def pick_tile(B: int, padded_in: int, dim_out: int, mspec) -> int:
     """Largest batch tile that divides B and fits the VMEM budget.
@@ -61,9 +103,68 @@ def _sigmoid(z):
     return 1.0 / (1.0 + jnp.exp(-z))
 
 
+def _mm_dtype(name: str | None):
+    return None if name is None else jnp.dtype(name)
+
+
+def _fwd_bwd(x, y, mask, ws, bs, w0s, L, mm_dtype=None):
+    """Shared forward + hand-derived backward for one batch tile.
+
+    `ws`/`bs` are layer VALUES (already loaded from their refs); every
+    fused kernel body routes through this so the math exists once.
+    Returns (sse, dws, dbs): the masked squared-error sum and the
+    *unscaled* gradient contributions d(sum se)/dW of this tile.
+
+    `mm_dtype`: optional matmul input cast.  `jnp.bfloat16` gives
+    single-pass MXU matmuls with f32 accumulation — the same contraction
+    the XLA path's default TPU matmul precision performs; None keeps full
+    f32 (multi-pass).
+    """
+
+    def dot(a, b):
+        if mm_dtype is not None:
+            a, b = a.astype(mm_dtype), b.astype(mm_dtype)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    hs = [x]  # hs[l] feeds layer l
+    coss = []  # w0 * cos(w0 z_l) backward multipliers
+    h = x
+    for l in range(L - 1):
+        z = dot(h, ws[l]) + bs[l]
+        s, c = sincos(w0s[l] * z)
+        coss.append(w0s[l] * c)
+        h = s
+        hs.append(h)
+    z_last = dot(h, ws[L - 1]) + bs[L - 1]
+    p = _sigmoid(z_last)
+
+    diff = (p - y) * mask
+    sse = jnp.sum(diff * diff)
+
+    g = 2.0 * diff * (p * (1.0 - p))  # d(sum se)/dz_last
+    dws: List[jnp.ndarray] = [None] * L
+    dbs: List[jnp.ndarray] = [None] * L
+    for l in range(L - 1, -1, -1):
+        dws[l] = dot(hs[l].T, g)
+        dbs[l] = jnp.sum(g, axis=0, keepdims=True)
+        if l > 0:
+            g = dot(g, ws[l].T) * coss[l - 1]
+    return sse, dws, dbs
+
+
+def _adam(theta, grad, m, v, lr, c1, c2):
+    """One Adam update with torch bias-correction semantics (shared by all
+    kernel bodies and the pure-JAX oracle)."""
+    m_new = ADAM_B1 * m + (1.0 - ADAM_B1) * grad
+    v_new = ADAM_B2 * v + (1.0 - ADAM_B2) * grad * grad
+    theta_new = theta - lr * (m_new * c1) / (jnp.sqrt(v_new * c2) + ADAM_EPS)
+    return theta_new, m_new, v_new
+
+
 def _kernel(
     n_layers: int,
     w0s: Tuple[float, ...],
+    mm_dtype,
     *refs,
 ):
     """refs layout (see fused_train_step for construction):
@@ -108,41 +209,16 @@ def _kernel(
     y = y_ref[...]
     mask = mask_ref[...]  # (TILE, 1)
 
-    # forward, keeping pre-activations for the backward pass
-    zs: List[jnp.ndarray] = []
-    h = x
-    for l in range(L - 1):
-        z = (
-            jnp.dot(h, w_refs[l][...], preferred_element_type=jnp.float32)
-            + b_refs[l][...]
-        )
-        zs.append(z)
-        h = jnp.sin(w0s[l] * z)
-        zs.append(h)  # store activation too (cheap VMEM reuse)
-    z_last = (
-        jnp.dot(h, w_refs[L - 1][...], preferred_element_type=jnp.float32)
-        + b_refs[L - 1][...]
+    sse, dws, dbs = _fwd_bwd(
+        x, y, mask,
+        [w[...] for w in w_refs], [b[...] for b in b_refs],
+        w0s, L, mm_dtype,
     )
-    p = _sigmoid(z_last)
-
     # masked squared error; the 1/(count*C) scale is applied at the end
-    diff = (p - y) * mask
-    loss_acc[...] = loss_acc[...] + jnp.sum(diff * diff).reshape(1, 1)
-
-    # backward
-    g = 2.0 * diff * (p * (1.0 - p))  # d(sum se)/dz_last
-    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
-    acc_dw[L - 1][...] += jnp.dot(
-        h_in.T, g, preferred_element_type=jnp.float32
-    )
-    acc_db[L - 1][...] += jnp.sum(g, axis=0, keepdims=True)
-    for l in range(L - 2, -1, -1):
-        g = jnp.dot(g, w_refs[l + 1][...].T, preferred_element_type=jnp.float32)
-        z = zs[2 * l]
-        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
-        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
-        acc_dw[l][...] += jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-        acc_db[l][...] += jnp.sum(g, axis=0, keepdims=True)
+    loss_acc[...] = loss_acc[...] + sse.reshape(1, 1)
+    for l in range(L):
+        acc_dw[l][...] += dws[l]
+        acc_db[l][...] += dbs[l]
 
     @pl.when(t == n_tiles - 1)
     def _update():
@@ -157,17 +233,15 @@ def _kernel(
                 (acc_db[l][...] * inv_scale, b_refs[l], mb_refs[l], vb_refs[l],
                  nb_refs[l], nmb_refs[l], nvb_refs[l]),
             ):
-                m_new = ADAM_B1 * m[...] + (1.0 - ADAM_B1) * grad
-                v_new = ADAM_B2 * v[...] + (1.0 - ADAM_B2) * grad * grad
-                m_hat = m_new * c1
-                v_hat = v_new * c2
-                nt[...] = theta[...] - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-                nm[...] = m_new
-                nv[...] = v_new
+                nt[...], nm[...], nv[...] = _adam(
+                    theta[...], grad, m[...], v[...], lr, c1, c2
+                )
         loss_ref[...] = loss_acc[...] * inv_scale
 
 
-@functools.partial(jax.jit, static_argnames=("mspec", "dim_out", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("mspec", "dim_out", "tile", "mm_dtype")
+)
 def fused_train_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -180,11 +254,13 @@ def fused_train_step(
     mspec: ModelSpec,
     dim_out: int,
     tile: int | None = None,
+    mm_dtype: str | None = None,
 ):
     """One fused training step.
 
     x: (B, padded_in) f32; y: (B, dim_out) f32; mask: (B,) f32;
-    step: 1-indexed Adam timestep.  Returns (params', m', v', loss).
+    step: 1-indexed Adam timestep; mm_dtype: see _fwd_bwd.
+    Returns (params', m', v', loss).
     """
     L = mspec.num_layers + 1
     w0s = tuple(
@@ -235,7 +311,7 @@ def fused_train_step(
         + [pltpu.VMEM((1, 1), jnp.float32)]
     )
 
-    kernel = functools.partial(_kernel, L, w0s)
+    kernel = functools.partial(_kernel, L, w0s, _mm_dtype(mm_dtype))
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -267,6 +343,7 @@ def fused_train_step(
 def _kernel_multi(
     n_layers: int,
     w0s: Tuple[float, ...],
+    mm_dtype,
     *refs,
 ):
     """Multi-step kernel body: grid (k,), one TRAINING STEP per grid step.
@@ -317,55 +394,27 @@ def _kernel_multi(
     y = y_ref[0]
     mask = mask_ref[0]  # (B, 1)
 
-    zs: List[jnp.ndarray] = []
-    h = x
-    for l in range(L - 1):
-        z = (
-            jnp.dot(h, nw[l][...], preferred_element_type=jnp.float32)
-            + nb[l][...]
-        )
-        zs.append(z)
-        h = jnp.sin(w0s[l] * z)
-        zs.append(h)
-    z_last = (
-        jnp.dot(h, nw[L - 1][...], preferred_element_type=jnp.float32)
-        + nb[L - 1][...]
+    # whole batch in one tile, so gradients are direct products
+    sse, dws, dbs = _fwd_bwd(
+        x, y, mask,
+        [w[...] for w in nw], [b[...] for b in nb],
+        w0s, L, mm_dtype,
     )
-    p = _sigmoid(z_last)
-
-    diff = (p - y) * mask
-    loss_ref[s, 0] = jnp.sum(diff * diff) * inv_scale
-
-    # backward: whole batch in one tile, so gradients are direct products
-    g = 2.0 * diff * (p * (1.0 - p))
-    dws: List[jnp.ndarray] = [None] * L
-    dbs: List[jnp.ndarray] = [None] * L
-    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
-    dws[L - 1] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-    dbs[L - 1] = jnp.sum(g, axis=0, keepdims=True)
-    for l in range(L - 2, -1, -1):
-        g = jnp.dot(g, nw[l + 1][...].T, preferred_element_type=jnp.float32)
-        z = zs[2 * l]
-        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
-        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
-        dws[l] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-        dbs[l] = jnp.sum(g, axis=0, keepdims=True)
+    loss_ref[s, 0] = sse * inv_scale
 
     for l in range(L):
         for grad, theta, m, v in (
             (dws[l] * inv_scale, nw[l], nmw[l], nvw[l]),
             (dbs[l] * inv_scale, nb[l], nmb[l], nvb[l]),
         ):
-            m_new = ADAM_B1 * m[...] + (1.0 - ADAM_B1) * grad
-            v_new = ADAM_B2 * v[...] + (1.0 - ADAM_B2) * grad * grad
-            theta[...] = theta[...] - lr * (m_new * c1) / (
-                jnp.sqrt(v_new * c2) + ADAM_EPS
+            theta[...], m[...], v[...] = _adam(
+                theta[...], grad, m[...], v[...], lr, c1, c2
             )
-            m[...] = m_new
-            v[...] = v_new
 
 
-@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+@functools.partial(
+    jax.jit, static_argnames=("mspec", "dim_out", "mm_dtype")
+)
 def fused_multi_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -377,6 +426,7 @@ def fused_multi_step(
     step0: jnp.ndarray,
     mspec: ModelSpec,
     dim_out: int,
+    mm_dtype: str | None = None,
 ):
     """k sequential fused training steps in ONE pallas_call.
 
@@ -435,7 +485,7 @@ def fused_multi_step(
     )
     aliases = {4 + i: i for i in range(6 * L)}
 
-    kernel = functools.partial(_kernel_multi, L, w0s)
+    kernel = functools.partial(_kernel_multi, L, w0s, _mm_dtype(mm_dtype))
     outs = pl.pallas_call(
         kernel,
         grid=(k,),
@@ -466,6 +516,7 @@ def fused_multi_step(
 def _kernel_expert_multi(
     n_layers: int,
     w0s: Tuple[float, ...],
+    mm_dtype,
     *refs,
 ):
     """Expert multi-step body: grid (E, k), s fastest — expert e runs its k
@@ -511,54 +562,26 @@ def _kernel_expert_multi(
     y = y_ref[0, 0]
     mask = mask_ref[0]  # (B, 1), shared across experts
 
-    zs: List[jnp.ndarray] = []
-    h = x
-    for l in range(L - 1):
-        z = (
-            jnp.dot(h, nw[l][0], preferred_element_type=jnp.float32)
-            + nb[l][0]
-        )
-        zs.append(z)
-        h = jnp.sin(w0s[l] * z)
-        zs.append(h)
-    z_last = (
-        jnp.dot(h, nw[L - 1][0], preferred_element_type=jnp.float32)
-        + nb[L - 1][0]
+    sse, dws, dbs = _fwd_bwd(
+        x, y, mask,
+        [w[0] for w in nw], [b[0] for b in nb],
+        w0s, L, mm_dtype,
     )
-    p = _sigmoid(z_last)
-
-    diff = (p - y) * mask
-    loss_ref[e, s] = jnp.sum(diff * diff) * inv_scale
-
-    g = 2.0 * diff * (p * (1.0 - p))
-    dws: List[jnp.ndarray] = [None] * L
-    dbs: List[jnp.ndarray] = [None] * L
-    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
-    dws[L - 1] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-    dbs[L - 1] = jnp.sum(g, axis=0, keepdims=True)
-    for l in range(L - 2, -1, -1):
-        g = jnp.dot(g, nw[l + 1][0].T, preferred_element_type=jnp.float32)
-        z = zs[2 * l]
-        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
-        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
-        dws[l] = jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-        dbs[l] = jnp.sum(g, axis=0, keepdims=True)
+    loss_ref[e, s] = sse * inv_scale
 
     for l in range(L):
         for grad, theta, m, v in (
             (dws[l] * inv_scale, nw[l], nmw[l], nvw[l]),
             (dbs[l] * inv_scale, nb[l], nmb[l], nvb[l]),
         ):
-            m_new = ADAM_B1 * m[0] + (1.0 - ADAM_B1) * grad
-            v_new = ADAM_B2 * v[0] + (1.0 - ADAM_B2) * grad * grad
-            theta[0] = theta[0] - lr * (m_new * c1) / (
-                jnp.sqrt(v_new * c2) + ADAM_EPS
+            theta[0], m[0], v[0] = _adam(
+                theta[0], grad, m[0], v[0], lr, c1, c2
             )
-            m[0] = m_new
-            v[0] = v_new
 
 
-@functools.partial(jax.jit, static_argnames=("mspec", "dim_out"))
+@functools.partial(
+    jax.jit, static_argnames=("mspec", "dim_out", "mm_dtype")
+)
 def fused_expert_multi_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -570,6 +593,7 @@ def fused_expert_multi_step(
     step0: jnp.ndarray,
     mspec: ModelSpec,
     dim_out: int,
+    mm_dtype: str | None = None,
 ):
     """k sequential steps for E experts in ONE pallas_call (grid (E, k)).
 
@@ -627,7 +651,9 @@ def fused_expert_multi_step(
     )
     aliases = {4 + i: i for i in range(6 * L)}
 
-    kernel = functools.partial(_kernel_expert_multi, L, w0s)
+    kernel = functools.partial(
+        _kernel_expert_multi, L, w0s, _mm_dtype(mm_dtype)
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(E, k),
@@ -658,6 +684,7 @@ def fused_expert_multi_step(
 def _kernel_experts(
     n_layers: int,
     w0s: Tuple[float, ...],
+    mm_dtype,
     *refs,
 ):
     """Expert-batched kernel body: grid (E, n_tiles), t fastest.
@@ -701,38 +728,15 @@ def _kernel_experts(
     y = y_ref[0]
     mask = mask_ref[...]  # (TILE, 1), shared across experts
 
-    zs: List[jnp.ndarray] = []
-    h = x
-    for l in range(L - 1):
-        z = (
-            jnp.dot(h, w_refs[l][0], preferred_element_type=jnp.float32)
-            + b_refs[l][0]
-        )
-        zs.append(z)
-        h = jnp.sin(w0s[l] * z)
-        zs.append(h)
-    z_last = (
-        jnp.dot(h, w_refs[L - 1][0], preferred_element_type=jnp.float32)
-        + b_refs[L - 1][0]
+    sse, dws, dbs = _fwd_bwd(
+        x, y, mask,
+        [w[0] for w in w_refs], [b[0] for b in b_refs],
+        w0s, L, mm_dtype,
     )
-    p = _sigmoid(z_last)
-
-    diff = (p - y) * mask
-    loss_acc[0, 0] = loss_acc[0, 0] + jnp.sum(diff * diff)
-
-    g = 2.0 * diff * (p * (1.0 - p))
-    h_in = zs[2 * (L - 2) + 1] if L > 1 else x
-    acc_dw[L - 1][...] += jnp.dot(
-        h_in.T, g, preferred_element_type=jnp.float32
-    )
-    acc_db[L - 1][...] += jnp.sum(g, axis=0, keepdims=True)
-    for l in range(L - 2, -1, -1):
-        g = jnp.dot(g, w_refs[l + 1][0].T, preferred_element_type=jnp.float32)
-        z = zs[2 * l]
-        g = g * (w0s[l] * jnp.cos(w0s[l] * z))
-        h_in = zs[2 * (l - 1) + 1] if l > 0 else x
-        acc_dw[l][...] += jnp.dot(h_in.T, g, preferred_element_type=jnp.float32)
-        acc_db[l][...] += jnp.sum(g, axis=0, keepdims=True)
+    loss_acc[0, 0] = loss_acc[0, 0] + sse
+    for l in range(L):
+        acc_dw[l][...] += dws[l]
+        acc_db[l][...] += dbs[l]
 
     @pl.when(t == n_tiles - 1)
     def _update():
@@ -747,17 +751,15 @@ def _kernel_experts(
                 (acc_db[l][...] * inv_scale, b_refs[l], mb_refs[l], vb_refs[l],
                  nb_refs[l], nmb_refs[l], nvb_refs[l]),
             ):
-                m_new = ADAM_B1 * m[0] + (1.0 - ADAM_B1) * grad
-                v_new = ADAM_B2 * v[0] + (1.0 - ADAM_B2) * grad * grad
-                m_hat = m_new * c1
-                v_hat = v_new * c2
-                nt[0] = theta[0] - lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)
-                nm[0] = m_new
-                nv[0] = v_new
+                nt[0], nm[0], nv[0] = _adam(
+                    theta[0], grad, m[0], v[0], lr, c1, c2
+                )
         loss_ref[pl.program_id(0), 0] = loss_acc[0, 0] * inv_scale
 
 
-@functools.partial(jax.jit, static_argnames=("mspec", "dim_out", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("mspec", "dim_out", "tile", "mm_dtype")
+)
 def fused_expert_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -770,6 +772,7 @@ def fused_expert_step(
     mspec: ModelSpec,
     dim_out: int,
     tile: int | None = None,
+    mm_dtype: str | None = None,
 ):
     """One fused training step for E experts: grid (E, B/TILE), one kernel.
 
@@ -829,7 +832,7 @@ def fused_expert_step(
         + [pltpu.SMEM((1, 1), jnp.float32)]
     )
 
-    kernel = functools.partial(_kernel_experts, L, w0s)
+    kernel = functools.partial(_kernel_experts, L, w0s, _mm_dtype(mm_dtype))
     outs = pl.pallas_call(
         kernel,
         grid=(E, n_tiles),
@@ -869,33 +872,53 @@ def reference_train_step(
     step: jnp.ndarray,
     mspec: ModelSpec,
     dim_out: int,
+    match_kernel: bool = False,
+    mm_dtype: str | None = None,
 ):
-    """Pure-JAX oracle with identical semantics (for tests and fallbacks)."""
-    from lbdrn_msic_tpu.models.siren import forward
+    """Pure-JAX oracle with identical SEMANTICS (for tests and fallbacks).
 
-    def loss_fn(p):
-        pred = forward(p, x, mspec)
-        se = ((pred - y) ** 2 * mask[:, None]).sum()
-        return se / (jnp.maximum(mask.sum(), 1.0) * dim_out)
+    By default it uses exact `jnp.sin` and XLA autodiff — the ground truth
+    the kernels are held against at trajectory tolerances.  With
+    `match_kernel=True` it replays the kernels' exact numerics instead
+    (shared-reduction `sincos` activations, the hand-derived backward, and
+    the same `mm_dtype` casts), so mechanics tests can compare tightly.
+    """
+    if match_kernel:
+        L = mspec.num_layers + 1
+        w0s = tuple(
+            [mspec.w0_initial] + [mspec.w0] * (mspec.num_layers - 1) + [0.0]
+        )
+        ws = list(params.weights)
+        bs = [b.reshape(1, -1) for b in params.biases]
+        sse, dws, dbs = _fwd_bwd(
+            x, y, mask.reshape(-1, 1), ws, bs, w0s, L, _mm_dtype(mm_dtype)
+        )
+        inv_scale = 1.0 / (jnp.maximum(mask.sum(), 1.0) * dim_out)
+        loss = sse * inv_scale
+        grads = SirenParams(
+            weights=[d * inv_scale for d in dws],
+            biases=[d.reshape(-1) * inv_scale for d in dbs],
+        )
+    else:
+        from lbdrn_msic_tpu.models.siren import forward
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+        def loss_fn(p):
+            pred = forward(p, x, mspec)
+            se = ((pred - y) ** 2 * mask[:, None]).sum()
+            return se / (jnp.maximum(mask.sum(), 1.0) * dim_out)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
     t = step.astype(jnp.float32)
     c1 = 1.0 / (1.0 - ADAM_B1**t)
     c2 = 1.0 / (1.0 - ADAM_B2**t)
 
-    def upd(theta, g, m, v):
-        m_new = ADAM_B1 * m + (1 - ADAM_B1) * g
-        v_new = ADAM_B2 * v + (1 - ADAM_B2) * g * g
-        theta_new = theta - lr * (m_new * c1) / (jnp.sqrt(v_new * c2) + ADAM_EPS)
-        return theta_new, m_new, v_new
-
     new_p, new_m, new_v = [], [], []
     for w, g, m, v in zip(params.weights, grads.weights, m_state.weights, v_state.weights):
-        a, b_, c = upd(w, g, m, v)
+        a, b_, c = _adam(w, g, m, v, lr, c1, c2)
         new_p.append(a); new_m.append(b_); new_v.append(c)
     new_pb, new_mb, new_vb = [], [], []
     for b, g, m, v in zip(params.biases, grads.biases, m_state.biases, v_state.biases):
-        a, b_, c = upd(b, g, m, v)
+        a, b_, c = _adam(b, g, m, v, lr, c1, c2)
         new_pb.append(a); new_mb.append(b_); new_vb.append(c)
     return (
         SirenParams(weights=new_p, biases=new_pb),

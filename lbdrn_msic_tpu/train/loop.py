@@ -75,6 +75,14 @@ class FitResult:
 
 
 def make_lr_schedule(tspec: TrainSpec, steps_per_epoch: int):
+    if tspec.schedule == "cosine":
+        total = max(1, tspec.epochs * steps_per_epoch)
+
+        def schedule(step):
+            return tspec.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * step / total))
+
+        return schedule
+
     step_size = tspec.lr_step_size()
 
     def schedule(step):
@@ -99,6 +107,7 @@ def dataset_mse(
     axis_name: str | None = None,
     axis_size: int = 1,
     x_cache: jnp.ndarray | None = None,
+    fast_act: bool = False,
 ) -> jnp.ndarray:
     """Full-image MSE via the slice path (one scan over row blocks).
 
@@ -130,7 +139,7 @@ def dataset_mse(
                 row_block_features(plane, plane_scale, r0, fspec, H, W, R),
                 padded_in,
             )
-        pred = forward(params, x, mspec)
+        pred = forward(params, x, mspec, fast_act=fast_act)
         rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         valid = (rows >= b_safe * R) & (rows < H)  # skip rows a clamped r0 re-reads
         mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
@@ -165,6 +174,7 @@ def fit_core(
     axis_size: int = 1,
     use_fused: bool = False,
     multi_k: int | None = None,
+    mm_dtype: str | None = None,
 ) -> FitResult:
     """Overfit one network to one image tile; everything on device.
 
@@ -362,7 +372,7 @@ def fit_core(
             x, y, mask = make_batch(gidx)
             params, m_state, v_state, loss = fused_train_step(
                 params, m_state, v_state, x, y, mask,
-                schedule(count), count + 1, mspec, C,
+                schedule(count), count + 1, mspec, C, mm_dtype=mm_dtype,
             )
             return (params, (m_state, v_state, count + 1)), loss
 
@@ -392,7 +402,8 @@ def fit_core(
         X, Yc, Mc = jax.vmap(make_batch)(perm_chunk)
         lrs = schedule(count + jnp.arange(k))
         params, m_state, v_state, losses = fused_multi_step(
-            params, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C
+            params, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C,
+            mm_dtype=mm_dtype,
         )
         return (params, (m_state, v_state, count + k)), losses
 
@@ -434,6 +445,7 @@ def fit_core(
                     params, plane, plane_scale, labels, label_scale,
                     fspec, mspec, H, W, block_rows, padded_in,
                     axis_name, axis_size, x_cache=x_cache,
+                    fast_act=use_fused,
                 )
                 better = mse < best_mse
                 new_best = jax.tree.map(
@@ -481,7 +493,7 @@ def fit_core(
     jax.jit,
     static_argnames=(
         "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes",
-        "use_fused", "staging", "multi_k",
+        "use_fused", "staging", "multi_k", "mm_dtype",
     ),
 )
 def fit_rate_experts(
@@ -498,6 +510,7 @@ def fit_rate_experts(
     use_fused: bool = False,
     staging: str = "full",
     multi_k: int = 0,
+    mm_dtype: str | None = None,
 ) -> FitResult:
     """Train one network per rate point K — all E=len(Ks) experts batched in
     ONE jitted program on ONE chip.
@@ -670,7 +683,10 @@ def fit_rate_experts(
                     for e in range(E)
                 ]
             )
-            pred = forward_experts(paramsE, pad_features(x, padded_in), mspec)
+            pred = forward_experts(
+                paramsE, pad_features(x, padded_in), mspec,
+                fast_act=use_fused,
+            )
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             valid = (rows >= b * R) & (rows < H)
             m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
@@ -694,7 +710,7 @@ def fit_rate_experts(
             m_state, v_state, count = opt_state
             paramsE, m_state, v_state, loss_e = fused_expert_step(
                 paramsE, m_state, v_state, x, y, mask,
-                schedule(count), count + 1, mspec, C,
+                schedule(count), count + 1, mspec, C, mm_dtype=mm_dtype,
             )
             return (paramsE, (m_state, v_state, count + 1)), loss_e
 
@@ -718,7 +734,8 @@ def fit_rate_experts(
         X, Yc, Mc = jax.vmap(make_batch)(perm_chunk)  # (k, E, bs, F) etc.
         lrs = schedule(count + jnp.arange(k))
         paramsE, m_state, v_state, losses = fused_expert_multi_step(
-            paramsE, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C
+            paramsE, m_state, v_state, X, Yc, Mc, lrs, count + 1, mspec, C,
+            mm_dtype=mm_dtype,
         )  # losses: (E, k)
         return (paramsE, (m_state, v_state, count + k)), jnp.transpose(losses)
 
@@ -808,7 +825,7 @@ def fit_rate_experts(
     jax.jit,
     static_argnames=(
         "fspec", "mspec", "tspec", "H", "W", "C", "staging", "tap_dtype",
-        "use_fused", "multi_k",
+        "use_fused", "multi_k", "mm_dtype",
     ),
 )
 def fit(
@@ -827,10 +844,11 @@ def fit(
     tap_dtype: str = "int16",
     use_fused: bool = False,
     multi_k: int | None = None,
+    mm_dtype: str | None = None,
 ) -> FitResult:
     """Single-device fit (see fit_core)."""
     return fit_core(
         plane, plane_scale, labels, label_scale, key,
         fspec, mspec, tspec, H, W, C, staging, tap_dtype,
-        use_fused=use_fused, multi_k=multi_k,
+        use_fused=use_fused, multi_k=multi_k, mm_dtype=mm_dtype,
     )

@@ -14,7 +14,12 @@ Run from /root/repo with the axon env (see memory note).
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -88,8 +93,49 @@ def make_kernel(mode: str, use_dg: bool):
         y = y_ref[...]
         mask = mask_ref[...]
 
+        from lbdrn_msic_tpu.ops.fused_step import _fwd_bwd, sincos as _prod_sincos
+
+        if mode in ("prod_f32", "prod_bf16"):
+            # the production shared forward/backward (sincos + optional bf16)
+            mmd = jnp.bfloat16 if mode == "prod_bf16" else None
+            sse, dws, dbs = _fwd_bwd(
+                x, y, mask,
+                [w[...] for w in w_refs], [b[...] for b in b_refs],
+                W0S, L, mmd,
+            )
+            loss_acc[...] = loss_acc[...] + sse.reshape(1, 1)
+            for l in range(L):
+                acc_dw[l][...] += dws[l]
+                acc_db[l][...] += dbs[l]
+
+            @pl.when(t == n_tiles - 1)
+            def _update_prod():
+                lr = scalars_ref[0, 0]
+                c1 = scalars_ref[0, 1]
+                c2 = scalars_ref[0, 2]
+                inv = scalars_ref[0, 3]
+                for l in range(L):
+                    for grad, theta, m, v, nt, nm, nv in (
+                        (acc_dw[l][...] * inv, w_refs[l], mw[l], vw[l],
+                         nw[l], nmw[l], nvw[l]),
+                        (acc_db[l][...] * inv, b_refs[l], mb[l], vb[l],
+                         nb[l], nmb[l], nvb[l]),
+                    ):
+                        m_new = ADAM_B1 * m[...] + (1.0 - ADAM_B1) * grad
+                        v_new = ADAM_B2 * v[...] + (1.0 - ADAM_B2) * grad * grad
+                        nt[...] = theta[...] - lr * (m_new * c1) / (
+                            jnp.sqrt(v_new * c2) + ADAM_EPS
+                        )
+                        nm[...] = m_new
+                        nv[...] = v_new
+                loss_ref[...] = loss_acc[...] * inv
+            return
+
         sin_fn = _fast_sin if mode == "fast_full" else jnp.sin
         cos_fn = _fast_cos if mode == "fast_full" else jnp.cos
+        if mode == "fast_full":  # production shared-reduction sincos
+            sin_fn = lambda u: _prod_sincos(u)[0]
+            cos_fn = lambda u: _prod_sincos(u)[1]
         zs = []
         h = x
         for l in range(L - 1):
@@ -248,13 +294,20 @@ def main():
         print(f"{label:>12}: {best*1e3:8.1f} ms ({best/512*1e6:6.1f} us/step)",
               flush=True)
 
-    for label, mode, use_dg, tile in (
-        ("full_t", "full", False, B),
-        ("fast_full", "fast_full", False, B),
-        ("prec_default", "prec_default", False, B),
-        ("prec_high", "prec_high", False, B),
-        ("fwd_notrans", "fwd_notrans", False, B),
-    ):
+    import sys
+
+    variants = {
+        "prod_f32": ("prod_f32", False, B),
+        "prod_bf16": ("prod_bf16", False, B),
+        "full_t": ("full", False, B),
+        "fast_full": ("fast_full", False, B),
+        "prec_default": ("prec_default", False, B),
+        "prec_high": ("prec_high", False, B),
+        "fwd_notrans": ("fwd_notrans", False, B),
+    }
+    wanted = sys.argv[1:] or list(variants)
+    for label in wanted:
+        mode, use_dg, tile = variants[label]
         timed(label, lambda m=mode, d=use_dg, t=tile: run_steps(
             ws, bs_, x, y, mask, m, d, t))
 

@@ -15,7 +15,12 @@ than a scalar is ~20 MB/s on the dev tunnel).  Run from /root/repo.
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp

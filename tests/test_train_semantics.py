@@ -42,6 +42,22 @@ def test_lr_schedule_matches_steplr():
     assert np.isclose(float(s1(5)), 1e-3)
 
 
+def test_lr_schedule_cosine():
+    """The TPU recipe's cosine schedule: lr at step 0, ~0 at the end,
+    half-way at the midpoint; and a cosine fit runs end to end."""
+    ts = TrainSpec(lr=1e-3, epochs=10, schedule="cosine")
+    sched = make_lr_schedule(ts, steps_per_epoch=100)
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert np.isclose(float(sched(500)), 5e-4)
+    assert float(sched(1000)) < 1e-9
+    plane, scale, labels, lscale = _prep(hw=(48, 48), seed=8)
+    r = fit(plane, scale, labels, lscale, jax.random.PRNGKey(0),
+            FSPEC, MSPEC, TrainSpec(epochs=4, batch_size=512,
+                                    schedule="cosine"), 48, 48, 2)
+    losses = np.asarray(r.epoch_losses)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_epochs1_takes_final_params():
     """With epochs == 1 the final weights are used without eval
     (reference encode.py:100-103)."""
