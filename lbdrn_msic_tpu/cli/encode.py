@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--tensorboard", action="store_true",
                    help="emit train/loss and val curves as TensorBoard scalars "
                         "(reference encode.py:89-107 parity)")
+    p.add_argument("--trace", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler device-timeline trace of the "
+                        "encode into DIR (open with TensorBoard/Perfetto)")
     add_codec_args(p, encode=True)
     args = p.parse_args(argv)
 
@@ -54,10 +57,16 @@ def main(argv=None) -> int:
     key = None
     if args.randomness:
         key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "big"))
-    stream, stats = encode_image(img, cfg, key=key,
-                                 header_version=args.header_version,
-                                 collect_curves=args.tensorboard,
-                                 mesh=mesh_from_args(args))
+    import contextlib
+
+    from lbdrn_msic_tpu.utils.profiling import trace
+
+    tr = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with tr:
+        stream, stats = encode_image(img, cfg, key=key,
+                                     header_version=args.header_version,
+                                     collect_curves=args.tensorboard,
+                                     mesh=mesh_from_args(args))
     write_encode_outputs(log, bin_path, stem, stream, stats, t0,
                          tensorboard=args.tensorboard,
                          out_dir=out_dir)

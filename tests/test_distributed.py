@@ -28,6 +28,19 @@ def test_job_scheduler_resume():
     assert ran == ["b", "c"]
 
 
+def test_trace_smoke(tmp_path):
+    """trace() captures a loadable profiler trace directory."""
+    import jax.numpy as jnp
+
+    from lbdrn_msic_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.arange(8).sum().block_until_ready()
+    # jax.profiler writes plugins/profile/<ts>/*; presence = capture worked
+    found = list(tmp_path.rglob("*.xplane.pb")) + list(tmp_path.rglob("*.trace.json*"))
+    assert found
+
+
 def test_phase_timer():
     t = PhaseTimer()
     with t.phase("x"):
