@@ -41,6 +41,9 @@ def main(argv=None) -> int:
                    help="image groups as name=lo-hi (e.g. GF-2=0-4 WFI=5-8)")
     p.add_argument("--plot-dir", type=str, default=None,
                    help="also write an RD plot per image into this dir")
+    p.add_argument("--latex", action="store_true",
+                   help="emit a LaTeX tabular instead of markdown (the "
+                        "reference's paper-table format, BD_metrics.py)")
     args = p.parse_args(argv)
 
     anchors = dict(a.split("=", 1) for a in args.anchors)
@@ -48,6 +51,7 @@ def main(argv=None) -> int:
     md = bd_table_markdown(
         anchors, args.test_csv, args.n_images, groups,
         k_points=args.k_points, last=args.last,
+        fmt="latex" if args.latex else "markdown",
     )
     print(md)
     if args.plot_dir:

@@ -86,67 +86,87 @@ def bd_report(
     return BDResult(rates, psnrs, g_rate, g_psnr)
 
 
+def _render_table(header: Sequence[str], rows: Sequence[Sequence[str]],
+                  fmt: str) -> str:
+    """Render a table as markdown or a LaTeX tabular (the reference's paper
+    emitters print LaTeX rows, BD_metrics.py:400-520)."""
+    if fmt == "latex":
+        lines = [
+            "\\begin{tabular}{l" + "r" * (len(header) - 1) + "}",
+            " & ".join(header) + " \\\\ \\hline",
+        ]
+        lines += [" & ".join(r) + " \\\\" for r in rows]
+        lines.append("\\end{tabular}")
+        return "\n".join(lines)
+    if fmt != "markdown":
+        raise ValueError(f"unknown table format {fmt!r}")
+    lines = ["| " + " | ".join(header) + " |", "|" + "---|" * len(header)]
+    lines += ["| " + " | ".join(r) + " |" for r in rows]
+    return "\n".join(lines)
+
+
 def bd_table_markdown(
     anchors: Dict[str, str], test_csv: str, n_images: int,
     groups: Dict[str, Sequence[int]], k_points: int = 6, last: bool = False,
+    fmt: str = "markdown",
 ) -> str:
-    """Markdown BD table: one row per anchor, group means (the reference
-    prints the LaTeX equivalent, BD_metrics.py:400-520)."""
-    lines = [
-        "| Against | " + " | ".join(f"{g} BD-Rate % | {g} BD-PSNR dB" for g in groups) + " |",
-        "|" + "---|" * (1 + 2 * len(groups)),
+    """BD table: one row per anchor, group means (reference
+    BD_metrics.py:400-520; fmt='latex' reproduces its tabular output)."""
+    header = ["Against"] + [
+        h for g in groups for h in (f"{g} BD-Rate %", f"{g} BD-PSNR dB")
     ]
+    rows = []
     for name, csv_path in anchors.items():
         r = bd_report(csv_path, test_csv, n_images, k_points, groups=groups, last=last)
         cells = []
         for g in groups:
             cells.append(f"{r.group_rate[g]:.3f}")
             cells.append(f"{r.group_psnr[g]:.3f}")
-        lines.append(f"| {name} | " + " | ".join(cells) + " |")
-    return "\n".join(lines)
+        rows.append([name] + cells)
+    return _render_table(header, rows, fmt)
 
 
 def ablation_table_markdown(
     variants: Dict[str, str], anchor_csv: str, n_images: int,
     groups: Dict[str, Sequence[int]], k_points: int = 6, last: bool = False,
+    fmt: str = "markdown",
 ) -> str:
     """Ablation table: BD-Rate/BD-PSNR of each config variant vs a common
     anchor (the role of reference BD_metrics.py feature_set() /
     network_hyperparameter() / training_hyperparameter() / split_ratio
     reports, generalized: variants come from CSVs instead of hard-coded
     lists)."""
-    lines = [
-        "| Variant | " + " | ".join(f"{g} BD-Rate % | {g} BD-PSNR dB" for g in groups) + " |",
-        "|" + "---|" * (1 + 2 * len(groups)),
+    header = ["Variant"] + [
+        h for g in groups for h in (f"{g} BD-Rate %", f"{g} BD-PSNR dB")
     ]
+    rows = []
     for name, csv_path in variants.items():
         r = bd_report(anchor_csv, csv_path, n_images, k_points, groups=groups, last=last)
         cells = []
         for g in groups:
             cells.append(f"{r.group_rate[g]:.3f}")
             cells.append(f"{r.group_psnr[g]:.3f}")
-        lines.append(f"| {name} | " + " | ".join(cells) + " |")
-    return "\n".join(lines)
+        rows.append([name] + cells)
+    return _render_table(header, rows, fmt)
 
 
 def error_stats_table(
     org: np.ndarray, recons: Dict[str, np.ndarray], thresholds: Sequence[int] = (0, 1, 2, 4, 8),
+    fmt: str = "markdown",
 ) -> str:
-    """Markdown table of |error| distribution per method (the role of the
-    reference's error_reconstruction/error_stats LaTeX emitters,
-    SOTA.py:245-321): max error and the fraction of subpixels with
-    |error| <= t for each threshold."""
-    lines = [
-        "| Method | max | " + " | ".join(f"<= {t} (%)" for t in thresholds) + " |",
-        "|" + "---|" * (2 + len(thresholds)),
-    ]
+    """|error| distribution per method (the role of the reference's
+    error_reconstruction/error_stats LaTeX emitters, SOTA.py:245-321):
+    max error and the fraction of subpixels with |error| <= t per
+    threshold; fmt='latex' emits the reference-style tabular."""
+    header = ["Method", "max"] + [f"<= {t} (%)" for t in thresholds]
+    rows = []
     for name, rec in recons.items():
         e = np.abs(rec.astype(np.int64) - org.astype(np.int64))
         cells = [str(int(e.max()))]
         for t in thresholds:
             cells.append(f"{100.0 * np.mean(e <= t):.3f}")
-        lines.append(f"| {name} | " + " | ".join(cells) + " |")
-    return "\n".join(lines)
+        rows.append([name] + cells)
+    return _render_table(header, rows, fmt)
 
 
 def rd_plot(

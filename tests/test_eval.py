@@ -162,6 +162,8 @@ def test_error_stats_table():
     lines = md.splitlines()
     assert lines[0].startswith("| Method | max |")
     assert "| exact | 0 | 100.000" in md
+    tex = error_stats_table(org, {"exact": org}, fmt="latex")
+    assert tex.startswith("\\begin{tabular}") and "exact & 0 & 100.000" in tex
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_RESULTS), reason="reference CSVs absent")
