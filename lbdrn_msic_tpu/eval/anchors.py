@@ -201,8 +201,9 @@ def jxl_substitute_band_codec():
 
     def enc(band: np.ndarray, distance: float) -> bytes:
         # reference distances 0.01..0.24 (SOTA.py:87) -> steps 20..491 on
-        # 16-bit samples: spans a PSNR ladder comparable to the real table
-        step = max(1, int(round(distance * 2048)))
+        # 16-bit samples: spans a PSNR ladder comparable to the real table;
+        # clamped to the 2-byte header field (distance > ~32 saturates)
+        step = min(max(1, int(round(distance * 2048))), 0xFFFF)
         idx = ((band.astype(np.int32) + step // 2) // step).astype(np.uint16)
         return step.to_bytes(2, "big") + lpc.encode(idx[None])
 

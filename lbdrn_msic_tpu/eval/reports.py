@@ -91,11 +91,14 @@ def _render_table(header: Sequence[str], rows: Sequence[Sequence[str]],
     """Render a table as markdown or a LaTeX tabular (the reference's paper
     emitters print LaTeX rows, BD_metrics.py:400-520)."""
     if fmt == "latex":
+        def esc(s: str) -> str:
+            return s.replace("%", "\\%").replace("<=", "$\\le$")
+
         lines = [
             "\\begin{tabular}{l" + "r" * (len(header) - 1) + "}",
-            " & ".join(header) + " \\\\ \\hline",
+            " & ".join(esc(h) for h in header) + " \\\\ \\hline",
         ]
-        lines += [" & ".join(r) + " \\\\" for r in rows]
+        lines += [" & ".join(esc(c) for c in r) + " \\\\" for r in rows]
         lines.append("\\end{tabular}")
         return "\n".join(lines)
     if fmt != "markdown":

@@ -261,10 +261,12 @@ def fit_core(
         # lane-padded 128/C-fold on TPU
         label_store = build_granule_labels(labels, H, W, LABEL_STORE_G)
 
+    tile = 0
     if use_fused:
         from lbdrn_msic_tpu.ops.fused_step import pick_tile
 
-        if axis_name is not None or not pick_tile(bs_local, padded_in, C, mspec):
+        tile = pick_tile(bs_local, padded_in, C, mspec)
+        if axis_name is not None or not tile:
             use_fused = False
 
     # multi-step chunking: k steps per pallas_call, available whenever the
@@ -272,17 +274,16 @@ def fit_core(
     # Measured on v5e (scripts/profiling/multik_ab.py, bench config): the
     # per-step path wins — 660 ms vs 790/804/890 ms at k=4/16/64 — so the
     # default stays 0; the chunked kernel remains for shapes where call
-    # overhead dominates harder (tiny batches / many tiny epochs).
-    if use_fused:
-        from lbdrn_msic_tpu.ops.fused_step import pick_tile as _pt
-
-        if _pt(bs_local, padded_in, C, mspec) != bs_local:
-            multi_k = 0
-        elif multi_k is None:
+    # overhead dominates harder (tiny batches / many tiny epochs).  The
+    # chunk is capped so the staged (k, bs, padded_in) batch buffer stays
+    # under ~512 MB (same guard as fit_rate_experts).
+    if use_fused and multi_k and tile == bs_local:
+        cap = max(1, (512 << 20) // (bs_local * padded_in * 4))
+        multi_k = min(multi_k, cap, steps_per_epoch)
+        if multi_k < 2:
             multi_k = 0
     else:
         multi_k = 0
-    multi_k = min(multi_k, steps_per_epoch)
 
     key, init_key = jax.random.split(key)
     params = init_params(init_key, dim_in, C, mspec, pad_input_to=padded_in)

@@ -1,13 +1,16 @@
-"""Fused-step kernel anatomy: which part costs the 143 us/step?
+"""Fused-step kernel anatomy: which part costs the step time?
 
 Variants of the fused forward/backward/Adam kernel, each run as a 512-step
-scan on one fixed (8192, 128) batch (bc=64, nl=2, C=4 — the bench config):
+scan on one fixed (8192, 128) batch (bc=64, nl=2, C=4 — the bench config);
+pass variant names as argv (default: all):
 
-  full_t        production kernel (backward matmuls via explicit .T)
-  full_dg       backward matmuls via dot_general contracting dim 0
-                (no transposes materialized)
-  fwd_only      forward + loss only (no backward, no Adam)
-  fwd_notrans   forward with matmuls only (sin/sigmoid replaced by identity)
+  prod_f32      the production _fwd_bwd (shared-reduction sincos), f32 dots
+  prod_bf16     same with bf16-cast matmul inputs (measured a wash on v5e)
+  full_t        the r2-era kernel: jnp.sin fwd + jnp.cos bwd, explicit .T
+  full_dg       full_t with backward matmuls via dot_general (no .T)
+  fast_full     full_t with the 2pi-period poly sin/cos prototypes
+  prec_default / prec_high   lax.Precision probes on the f32 dots
+  fwd_notrans   matmuls only (activations replaced by identity)
   tile2048      full_dg at TILE=2048 (grid 4) — per-grid-step overhead probe
 
 Run from /root/repo with the axon env (see memory note).
@@ -300,10 +303,12 @@ def main():
         "prod_f32": ("prod_f32", False, B),
         "prod_bf16": ("prod_bf16", False, B),
         "full_t": ("full", False, B),
+        "full_dg": ("full", True, B),
         "fast_full": ("fast_full", False, B),
         "prec_default": ("prec_default", False, B),
         "prec_high": ("prec_high", False, B),
         "fwd_notrans": ("fwd_notrans", False, B),
+        "tile2048": ("full", True, 2048),
     }
     wanted = sys.argv[1:] or list(variants)
     for label in wanted:

@@ -73,6 +73,10 @@ def test_jpegxl_substitute_roundtrip():
         psnrs[K], sizes[K] = psnr(img, rec), len(s)
     # the distance table is monotone -> PSNR falls, size falls with K
     assert psnrs[1] > psnrs[5] > psnrs[11]
+    # extreme distance override clamps to the 2-byte step field, no overflow
+    enc, dec = codec
+    blob = enc(img[0], 40.0)
+    assert dec(blob).shape == img[0].shape
     assert sizes[1] > sizes[5] > sizes[11]
     # container layout matches the reference's (header_len, n_bands, sizes)
     s = streams[5]
@@ -164,6 +168,10 @@ def test_error_stats_table():
     assert "| exact | 0 | 100.000" in md
     tex = error_stats_table(org, {"exact": org}, fmt="latex")
     assert tex.startswith("\\begin{tabular}") and "exact & 0 & 100.000" in tex
+    # headers must be LaTeX-safe: raw '%' comments out the row terminator
+    assert "\\%" in tex and "$\\le$" in tex
+    header = tex.splitlines()[1]
+    assert "%" not in header.replace("\\%", "")
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_RESULTS), reason="reference CSVs absent")

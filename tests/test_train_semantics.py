@@ -112,9 +112,10 @@ def test_loss_decreases():
 
 
 def test_fused_multi_step_fit_matches_xla_fit():
-    """The chunked multi-step pallas path (one call per k steps, including
-    a remainder chunk) tracks the XLA fit trajectory in interpret mode.
-    64x64 px / bs 1024 -> 4 steps/epoch = one 16-capped chunk of 4."""
+    """The chunked multi-step pallas path (one call per k steps, with a
+    remainder chunk: 64x64 px / bs 1024 -> 4 steps/epoch, multi_k=3 ->
+    one 3-step chunk + a 1-step remainder) tracks BOTH the per-step fused
+    fit and the XLA fit trajectory in interpret mode."""
     from jax.experimental.pallas import tpu as pltpu
 
     plane, scale, labels, lscale = _prep(hw=(64, 64), seed=6)
@@ -124,12 +125,45 @@ def test_fused_multi_step_fit_matches_xla_fit():
     r_xla = fit(*args, use_fused=False)
     with pltpu.force_tpu_interpret_mode():
         r_fused = fit(*args, use_fused=True)
+        r_chunk = fit(*args, use_fused=True, multi_k=3)
     np.testing.assert_allclose(
         np.asarray(r_fused.step_losses), np.asarray(r_xla.step_losses),
         rtol=1e-3,
     )
     assert r_fused.step_losses.shape == r_xla.step_losses.shape
+    # chunked == per-step fused (same kernels, launch batching only)
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.step_losses), np.asarray(r_fused.step_losses),
+        rtol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(r_chunk.params),
+                    jax.tree.leaves(r_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
     for a, b in zip(jax.tree.leaves(r_fused.params),
                     jax.tree.leaves(r_xla.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=2e-3)
+
+
+def test_fused_expert_multi_step_fit_matches_per_step():
+    """fit_rate_experts' chunked path (multi_k) == its per-step path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lbdrn_msic_tpu.train.loop import fit_rate_experts
+
+    img = jnp.asarray(synth_scene(64, 64, channels=2, seed=9))
+    ts = TrainSpec(epochs=2, batch_size=1024)
+    args = (img, (4, 5), jax.random.PRNGKey(1), FSPEC, MSPEC, ts,
+            64, 64, 2, ("int16", "int16"))
+    with pltpu.force_tpu_interpret_mode():
+        r_step = fit_rate_experts(*args, use_fused=True)
+        r_chunk = fit_rate_experts(*args, use_fused=True, multi_k=3)
+    np.testing.assert_allclose(
+        np.asarray(r_chunk.step_losses), np.asarray(r_step.step_losses),
+        rtol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(r_chunk.params),
+                    jax.tree.leaves(r_step.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
