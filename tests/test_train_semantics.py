@@ -111,6 +111,30 @@ def test_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_dataset_mse_tap_cache_bit_identical():
+    """The tap-matrix eval path == the slice path, bit for bit, for g in
+    {1, 8} (W % g == 0) and both tap dtypes."""
+    from lbdrn_msic_tpu.features.engine import build_tap_matrix
+    from lbdrn_msic_tpu.models.siren import init_params, pad_dim
+    from lbdrn_msic_tpu.train.loop import dataset_mse
+
+    H = W = 40
+    plane, scale, labels, lscale = _prep(hw=(H, W), seed=12)
+    dim_in = FSPEC.feature_dim(2)
+    padded_in = pad_dim(dim_in)
+    params = init_params(jax.random.PRNGKey(4), dim_in, 2, MSPEC,
+                         pad_input_to=padded_in)
+    base = dataset_mse(params, plane, scale, labels, lscale, FSPEC, MSPEC,
+                       H, W, 8, padded_in)
+    for g in (1, 8):
+        for dt in ("int8", "int16"):
+            taps = build_tap_matrix(plane, FSPEC, H, W, jnp.dtype(dt), g=g)
+            got = dataset_mse(params, plane, scale, labels, lscale, FSPEC,
+                              MSPEC, H, W, 8, padded_in,
+                              tap_cache=taps, tap_g=g)
+            assert float(got) == float(base), (g, dt)
+
+
 def test_fused_multi_step_fit_matches_xla_fit():
     """The chunked multi-step pallas path (one call per k steps, with a
     remainder chunk: 64x64 px / bs 1024 -> 4 steps/epoch, multi_k=3 ->
