@@ -206,6 +206,11 @@ def encode_image(
     the host-side base-layer codec runs in a worker thread while the TPU
     trains — the reference runs these strictly serially
     (reference encode.py:118-155; SURVEY §2.3 "pipeline parallel" row).
+    With split_ratio > 1 the tiles are additionally double-buffered: tile
+    t+1's h2d transfer, prep and base coding are dispatched before blocking
+    on tile t's training, so the device trains back-to-back and each tile's
+    transfer/host time hides under its neighbor's fit.  Streams are
+    byte-identical to the serial order (same per-tile keys and programs).
 
     `mesh`: optional jax.sharding.Mesh — a "dp" axis > 1 trains each tile
     data-parallel over the devices (psum-reduced grads over ICI).  Streams
@@ -225,17 +230,30 @@ def encode_image(
     timer = PhaseTimer()
     nn_streams, base_streams, tiles_stats = [], [], []
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-        for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
-            tkey = jax.random.fold_in(key, tile_idx)
-            t1 = time.time()
-            with timer.phase("dispatch"):
-                # dispatches device training; returns before the TPU finishes
-                flat_fn, msb_fn, result = _train_tile(
-                    tile, cfg, tkey, mesh=mesh, use_fused=use_fused
-                )
-                base_future = pool.submit(
-                    lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
-                )
+        tiles = list(split_image(img, cfg.split_ratio))
+        pending = None  # (t_dispatch, flat_fn, base_future, result)
+
+        # double-buffering keeps TWO tiles' device staging resident; stay
+        # serial when one tile's staging alone is near the budget (v5e HBM
+        # is 16 GB and the budget is 8 GB/tile)
+        overlap_tiles = len(tiles) > 1
+        if overlap_tiles:
+            tC, tH, tW = tiles[0].shape
+            st0, dt0 = pick_staging(
+                tH, tW, tC, int(img.max()) >> cfg.K, cfg.features, cfg.train
+            )
+            g0 = max(1, cfg.train.sample_granule)
+            if st0 == "cached":
+                sbytes = _cached_bytes(tH, tW, tC, cfg.features, g0)
+            elif st0 in ("full", "banded"):
+                fb, bb = _staging_bytes(tH, tW, tC, cfg.features, g0, dt0, dt0)
+                sbytes = fb if st0 == "full" else bb
+            else:
+                sbytes = 0
+            overlap_tiles = 2 * (sbytes + tiles[0].nbytes) < (12 << 30)
+
+        def finalize(p):
+            t1, flat_fn, base_future, result = p
             with timer.phase("train_wait"):
                 flat = flat_fn()  # blocks on the device result
                 best_mse, best_epoch = jax.device_get(
@@ -263,6 +281,26 @@ def encode_image(
                     ),
                 )
             )
+
+        for tile_idx, tile in enumerate(tiles):
+            tkey = jax.random.fold_in(key, tile_idx)
+            t1 = time.time()
+            with timer.phase("dispatch"):
+                # dispatches device training; returns before the TPU finishes
+                flat_fn, msb_fn, result = _train_tile(
+                    tile, cfg, tkey, mesh=mesh, use_fused=use_fused
+                )
+                base_future = pool.submit(
+                    lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
+                )
+            if pending is not None:
+                finalize(pending)
+            pending = (t1, flat_fn, base_future, result)
+            if not overlap_tiles:
+                finalize(pending)
+                pending = None
+        if pending is not None:
+            finalize(pending)
     header = header_from_config(
         cfg, W, H,
         [len(s) for s in nn_streams],
