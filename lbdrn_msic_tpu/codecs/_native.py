@@ -40,7 +40,10 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        srcs = [os.path.join(_DIR, f) for f in ("fpzcodec.cc", "lpc.cc", "rangecoder.h")]
+        srcs = [
+            os.path.join(_DIR, f)
+            for f in ("fpzcodec.cc", "lpc.cc", "tiffcodecs.cc", "rangecoder.h")
+        ]
         stale = not os.path.exists(_SO) or any(
             os.path.getmtime(s) > os.path.getmtime(_SO) for s in srcs
         )
@@ -77,6 +80,9 @@ def load():
         lib.lpc_decompress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
         ]
+        for fn in (lib.lbdrn_lzw_decode, lib.lbdrn_packbits_decode):
+            fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+            fn.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

@@ -46,8 +46,42 @@ _TYPE_SIZES = {
 }
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-variant LZW (MSB-first codes, early-change)."""
+def _native_chunk_decode(fname: str, data: bytes, expected: int):
+    """Decode a strip/tile with the C++ library (tiffcodecs.cc); None when
+    the library is unavailable or the stream is malformed (callers fall
+    back to the byte-exact Python decoders below).  `expected` is the
+    decoded-size bound the TIFF geometry implies — the native decoders
+    stop there, matching the [:expected] slice the callers apply."""
+    import ctypes
+
+    from lbdrn_msic_tpu.codecs import _native
+
+    lib = _native.load()
+    if lib is None or not data:
+        return None
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    dst = ctypes.create_string_buffer(expected)
+    n = getattr(lib, fname)(
+        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(expected),
+    )
+    if n < 0:
+        return None
+    return dst.raw[:n]
+
+
+def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early-change).
+
+    With `expected` set, the native C++ decoder handles the chunk (a
+    Python byte-loop is ~100x too slow for production GeoTIFF reads);
+    this loop is the byte-exact oracle and the portability fallback."""
+    if expected is not None:
+        out = _native_chunk_decode("lbdrn_lzw_decode", data, expected)
+        if out is not None:
+            return out
     CLEAR, EOI = 256, 257
     out = bytearray()
     table = None
@@ -91,7 +125,11 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, expected: int | None = None) -> bytes:
+    if expected is not None:
+        nat = _native_chunk_decode("lbdrn_packbits_decode", data, expected)
+        if nat is not None:
+            return nat
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -198,14 +236,14 @@ def read_tiff(path: str) -> np.ndarray:
         raise ValueError(f"{path}: unsupported sample format {sfmt}")
     dtype = np.dtype(dtype).newbyteorder(en)
 
-    def decode_chunk(off: int, cnt: int) -> bytes:
+    def decode_chunk(off: int, cnt: int, expected: int) -> bytes:
         chunk = buf[off : off + cnt]
         if comp in (8, 32946):
             return zlib.decompress(chunk)
         if comp == 5:
-            return _lzw_decode(chunk)
+            return _lzw_decode(chunk, expected)
         if comp == 32773:
-            return _packbits_decode(chunk)
+            return _packbits_decode(chunk, expected)
         return chunk
 
     def undo_predictor(rows: np.ndarray) -> np.ndarray:
@@ -228,7 +266,10 @@ def read_tiff(path: str) -> np.ndarray:
         for p in range(planes):
             for ty in range(tiles_down):
                 for tx in range(tiles_across):
-                    raw = decode_chunk(offsets[idx], counts[idx])
+                    raw = decode_chunk(
+                        offsets[idx], counts[idx],
+                        th * tw * cps * dtype.itemsize,
+                    )
                     idx += 1
                     tile = np.frombuffer(raw, dtype=dtype)[: th * tw * cps]
                     tile = tile.astype(dtype.newbyteorder("=")).reshape(th, tw, cps)
@@ -244,9 +285,17 @@ def read_tiff(path: str) -> np.ndarray:
 
     offsets = e[_STRIP_OFFSETS]
     counts = e[_STRIP_COUNTS]
+    total = height * width * spp * dtype.itemsize
+    # per-strip decoded-size bound: RowsPerStrip rows (last strip shorter);
+    # the remaining-bytes cap alone would allocate a near-total-size output
+    # buffer per strip (quadratic zeroing over hundreds of strips)
+    rps = e.get(_ROWS_PER_STRIP, [height])[0]
+    strip_bytes = rps * width * (spp if planar == 1 else 1) * dtype.itemsize
     data = bytearray()
     for off, cnt in zip(offsets, counts):
-        data += decode_chunk(off, cnt)
+        data += decode_chunk(
+            off, cnt, max(0, min(strip_bytes, total - len(data)))
+        )
     arr = np.frombuffer(bytes(data), dtype=dtype)
     arr = arr.astype(dtype.newbyteorder("="))
     n = height * width * spp

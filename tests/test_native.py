@@ -83,3 +83,128 @@ def test_lpc_extremes():
     np.testing.assert_array_equal(lpc.decode(lpc.encode(noise)), noise)
     one = np.asarray([[[1234]]], np.uint16)
     np.testing.assert_array_equal(lpc.decode(lpc.encode(one)), one)
+
+
+# ---- native TIFF chunk decoders (tiffcodecs.cc) vs the Python oracles ----
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Minimal conformant TIFF-LZW encoder (MSB-first, early change) used
+    only to generate test streams for the decoders."""
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc_ = w + bytes([ch])
+        if wc_ in table:
+            w = wc_
+            continue
+        emit(table[w], width)
+        table[wc_] = next_code
+        next_code += 1
+        # encoder-side early change: widen when the NEXT code would not fit
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # conventional reset before the table fills
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n and i - lit < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += data[lit:i]
+    return bytes(out)
+
+
+def _tiff_payloads():
+    rng = np.random.default_rng(7)
+    flat = synth_scene(64, 96, channels=2, seed=70).tobytes()
+    return [
+        b"",
+        b"A",
+        b"ABABABABAB" * 500,
+        bytes(rng.integers(0, 4, 5000).astype(np.uint8)),  # repetitive
+        bytes(rng.integers(0, 256, 20000).astype(np.uint8)),  # incompressible
+        bytes(10_000),  # constant
+        flat,  # realistic raster bytes (spans an LZW table reset)
+    ]
+
+
+def test_native_lzw_matches_python():
+    from lbdrn_msic_tpu.io.tiff import _lzw_decode, _native_chunk_decode
+
+    for payload in _tiff_payloads():
+        stream = _lzw_encode_tiff(payload)
+        py = _lzw_decode(stream)
+        assert py == payload  # the Python oracle itself round-trips
+        nat = _native_chunk_decode("lbdrn_lzw_decode", stream, len(payload))
+        if payload:
+            assert nat == payload
+        # expected-size truncation stops mid-stream consistently
+        for cut in (0, 1, len(payload) // 2):
+            nat_cut = _native_chunk_decode("lbdrn_lzw_decode", stream, cut)
+            if stream:
+                assert nat_cut == payload[:cut]
+
+
+def test_native_packbits_matches_python():
+    from lbdrn_msic_tpu.io.tiff import _native_chunk_decode, _packbits_decode
+
+    for payload in _tiff_payloads():
+        stream = _packbits_encode(payload)
+        py = _packbits_decode(stream)
+        assert py == payload
+        nat = _native_chunk_decode("lbdrn_packbits_decode", stream, len(payload))
+        if payload:
+            assert nat == payload
+        cut = len(payload) // 3
+        nat_cut = _native_chunk_decode("lbdrn_packbits_decode", stream, cut)
+        if stream:
+            assert nat_cut == payload[:cut]
+
+
+def test_native_lzw_rejects_garbage():
+    """Malformed streams return None (callers fall back to Python, which
+    raises) instead of crashing or emitting unbounded output."""
+    from lbdrn_msic_tpu.io.tiff import _native_chunk_decode
+
+    # opens with a non-literal, non-clear code -> invalid
+    bad = bytes([0xFF, 0xFF, 0xFF, 0xFF])
+    assert _native_chunk_decode("lbdrn_lzw_decode", bad, 1024) is None
