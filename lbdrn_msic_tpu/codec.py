@@ -230,29 +230,35 @@ def encode_image(
     timer = PhaseTimer()
     nn_streams, base_streams, tiles_stats = [], [], []
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
-        tiles = list(split_image(img, cfg.split_ratio))
+        n_tiles = cfg.split_ratio * cfg.split_ratio
         pending = None  # (t_dispatch, flat_fn, base_future, result)
+        last_done = t0  # end of the previous tile's finalize (timing only)
 
         # double-buffering keeps TWO tiles' device staging resident; stay
         # serial when one tile's staging alone is near the budget (v5e HBM
-        # is 16 GB and the budget is 8 GB/tile)
-        overlap_tiles = len(tiles) > 1
+        # is 16 GB and the budget is 8 GB/tile).  The LAST tile absorbs the
+        # split remainders (reference LBDRNdataset.py:62-63) so it bounds
+        # the staging estimate.
+        overlap_tiles = n_tiles > 1
         if overlap_tiles:
-            tC, tH, tW = tiles[0].shape
+            sr = cfg.split_ratio
+            tH, tW = H // sr + H % sr, W // sr + W % sr
             st0, dt0 = pick_staging(
-                tH, tW, tC, int(img.max()) >> cfg.K, cfg.features, cfg.train
+                tH, tW, C, int(img.max()) >> cfg.K, cfg.features, cfg.train
             )
             g0 = max(1, cfg.train.sample_granule)
             if st0 == "cached":
-                sbytes = _cached_bytes(tH, tW, tC, cfg.features, g0)
+                sbytes = _cached_bytes(tH, tW, C, cfg.features, g0)
             elif st0 in ("full", "banded"):
-                fb, bb = _staging_bytes(tH, tW, tC, cfg.features, g0, dt0, dt0)
+                fb, bb = _staging_bytes(tH, tW, C, cfg.features, g0, dt0, dt0)
                 sbytes = fb if st0 == "full" else bb
             else:
                 sbytes = 0
-            overlap_tiles = 2 * (sbytes + tiles[0].nbytes) < (12 << 30)
+            tile_nbytes = C * tH * tW * img.dtype.itemsize
+            overlap_tiles = 2 * (sbytes + tile_nbytes) < (12 << 30)
 
         def finalize(p):
+            nonlocal last_done
             t1, flat_fn, base_future, result = p
             with timer.phase("train_wait"):
                 flat = flat_fn()  # blocks on the device result
@@ -273,7 +279,11 @@ def encode_image(
                     base_bytes=len(base),
                     best_mse=float(best_mse),
                     best_epoch=int(best_epoch),
-                    train_time=t2 - t1,
+                    # exclusive window: under double-buffering tile t's
+                    # dispatch precedes tile t-1's finalize, so clamp the
+                    # start to the previous tile's completion (per-tile
+                    # times then sum to <= wall clock, no double counting)
+                    train_time=t2 - max(t1, last_done),
                     base_time=max(0.0, t3 - t2),
                     step_losses=(
                         np.asarray(jax.device_get(result.step_losses))
@@ -281,8 +291,9 @@ def encode_image(
                     ),
                 )
             )
+            last_done = t3
 
-        for tile_idx, tile in enumerate(tiles):
+        for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
             tkey = jax.random.fold_in(key, tile_idx)
             t1 = time.time()
             with timer.phase("dispatch"):
@@ -293,6 +304,7 @@ def encode_image(
                 base_future = pool.submit(
                     lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
                 )
+            del tile  # the device copy + msb_fn closure carry it from here
             if pending is not None:
                 finalize(pending)
             pending = (t1, flat_fn, base_future, result)

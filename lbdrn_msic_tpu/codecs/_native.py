@@ -54,6 +54,16 @@ def load():
         except OSError:
             return None
 
+        # newer symbols: a stale .so copied without mtimes can lack them;
+        # force one rebuild (BEFORE declaring any argtypes on the handle),
+        # then degrade to fpz/LPC-only rather than break every native
+        # caller (io/tiff.py guards with getattr)
+        if not hasattr(lib, "lbdrn_lzw_decode") and _build():
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
+
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.lbdrn_free.argtypes = [ctypes.c_void_p]
         lib.lfpz_compress.argtypes = [
@@ -80,9 +90,11 @@ def load():
         lib.lpc_decompress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
         ]
-        for fn in (lib.lbdrn_lzw_decode, lib.lbdrn_packbits_decode):
-            fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
-            fn.restype = ctypes.c_int64
+        for name in ("lbdrn_lzw_decode", "lbdrn_packbits_decode"):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+                fn.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

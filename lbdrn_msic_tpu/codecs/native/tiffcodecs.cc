@@ -37,6 +37,8 @@ int64_t lbdrn_lzw_decode(const uint8_t* src, int64_t n, uint8_t* dst,
   int table_size = 258;
   int code_len = 9;
   int prev = -1;
+  bool cleared = false;  // the stream must open with ClearCode (oracle
+                         // io/tiff.py:_lzw_decode raises otherwise)
   int64_t out = 0, pos = 0;
   uint32_t bitbuf = 0;
   int bitcnt = 0;
@@ -54,9 +56,11 @@ int64_t lbdrn_lzw_decode(const uint8_t* src, int64_t n, uint8_t* dst,
       table_size = 258;
       code_len = 9;
       prev = -1;
+      cleared = true;
       continue;
     }
     if (code == kEoi) break;
+    if (!cleared) return -1;  // data before the initial ClearCode
     if (prev == -1 && code >= 256) return -1;  // must open with a literal
 
     // Resolve the entry's bytes by walking the prefix chain (reversed).

@@ -54,22 +54,29 @@ def _native_chunk_decode(fname: str, data: bytes, expected: int):
     stop there, matching the [:expected] slice the callers apply."""
     import ctypes
 
+    import numpy as np
+
     from lbdrn_msic_tpu.codecs import _native
 
     lib = _native.load()
-    if lib is None or not data:
+    fn = getattr(lib, fname, None) if lib is not None else None
+    if fn is None or not data or expected < 0:
         return None
-    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-    dst = ctypes.create_string_buffer(expected)
-    n = getattr(lib, fname)(
-        ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)),
+    if expected == 0:
+        return b""
+    # borrow the immutable bytes buffer (src is const in C); np.empty skips
+    # the output zero-fill create_string_buffer would pay per chunk
+    src = ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+    dst = np.empty(expected, np.uint8)
+    n = fn(
+        src,
         ctypes.c_int64(len(data)),
-        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(expected),
     )
     if n < 0:
         return None
-    return dst.raw[:n]
+    return dst[:n].tobytes()
 
 
 def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:

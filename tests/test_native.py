@@ -208,3 +208,15 @@ def test_native_lzw_rejects_garbage():
     # opens with a non-literal, non-clear code -> invalid
     bad = bytes([0xFF, 0xFF, 0xFF, 0xFF])
     assert _native_chunk_decode("lbdrn_lzw_decode", bad, 1024) is None
+
+
+def test_native_lzw_requires_initial_clear():
+    """Data codes before the first ClearCode are rejected (the Python
+    oracle raises for this class of stream; results must not be
+    platform-dependent on whether the native library built)."""
+    from lbdrn_msic_tpu.io.tiff import _native_chunk_decode
+
+    # 9-bit code 'A' (65) first, no leading CLEAR
+    bitbuf = (65 << 7)  # 65 in 9 bits, left-aligned in 2 bytes
+    bad = bytes([(bitbuf >> 8) & 0xFF, bitbuf & 0xFF])
+    assert _native_chunk_decode("lbdrn_lzw_decode", bad, 64) is None
