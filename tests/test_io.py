@@ -118,3 +118,28 @@ def test_synth_scene_properties():
     band = img[0].astype(np.float64)
     c = np.corrcoef(band[:, :-1].ravel(), band[:, 1:].ravel())[0, 1]
     assert c > 0.9
+
+
+def test_tiff_malformed_inputs_fail_cleanly(tmp_path, rng):
+    """Garbage and truncated files raise clean errors (no hangs, no OOM
+    allocations from attacker-controlled geometry fields)."""
+    import struct
+
+    from lbdrn_msic_tpu.io.tiff import write_tiff
+
+    p = str(tmp_path / "junk.bin")
+    with open(p, "wb") as f:
+        f.write(bytes(rng.integers(0, 256, 256).astype(np.uint8)))
+    with pytest.raises((ValueError, struct.error)):
+        read_tiff(p)
+
+    # valid header, truncated body
+    arr = rng.integers(0, 4095, (2, 48, 32)).astype(np.uint16)
+    good = str(tmp_path / "good.tif")
+    write_tiff(good, arr)
+    blob = open(good, "rb").read()
+    cut = str(tmp_path / "cut.tif")
+    with open(cut, "wb") as f:
+        f.write(blob[: len(blob) // 4])
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        read_tiff(cut)
