@@ -133,3 +133,29 @@ def test_pipelined_sweep_cli(tmp_path):
     assert sweep_cli.main(
         ["-i", tif, "-o", out, "--k-min", "4", "--k-max", "5", "--pipeline"] + FAST
     ) == 0
+
+
+def test_visualize_cli(tmp_path):
+    """The visu_image.py-role CLI emits composites, bit-plane views and
+    error maps from TIFFs on disk."""
+    from lbdrn_msic_tpu.cli import visualize as vz
+    from lbdrn_msic_tpu.io.tiff import write_tiff
+    from lbdrn_msic_tpu.utils.synth import synth_scene
+
+    img = synth_scene(48, 40, channels=4, effective_bits=12, seed=21)
+    src = str(tmp_path / "scene.tif")
+    write_tiff(src, img)
+    rec = ((img >> 2) << 2).astype(img.dtype)
+    rp = str(tmp_path / "rec.tif")
+    write_tiff(rp, rec)
+    out = str(tmp_path / "figs")
+    assert vz.main([
+        "-i", src, "-o", out, "--msb-lsb", "5",
+        "--recon", f"drop2={rp}",
+    ]) == 0
+    names = sorted(os.listdir(out))
+    assert names == [
+        "scene_error_maps.png", "scene_false.png",
+        "scene_msb_lsb_K5.png", "scene_true.png",
+    ]
+    assert all(os.path.getsize(os.path.join(out, n)) > 1000 for n in names)
