@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                         "batched experts in one device program "
                         "(codec.encode_rate_points): fastest sweep mode; streams "
                         "are RD-equivalent (not byte-identical) to per-job runs")
+    p.add_argument("--retries", type=int, default=0,
+                   help="per-(image,K) retry budget for transient failures "
+                        "(flaky remote compile / device claim); completed "
+                        "halves are skipped via the CLIs' resume markers")
     p.add_argument("--hosts", type=int, default=1,
                    help="partition the (image, K) job list across N cooperating "
                         "processes writing to a shared filesystem — the "
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         ("--sigma", args.sigma), ("--n-freq", args.n_freq),
         ("--base-codec", args.base_codec), ("--weight-codec", args.weight_codec),
         ("--header-version", args.header_version),
+        ("--schedule", args.schedule), ("-g", args.sample_granule),
     ]:
         base_flags += [flag, str(val)]
     for flag, on in [
@@ -84,7 +89,9 @@ def main(argv=None) -> int:
         for path in args.paths
         for K in range(args.k_min, args.k_max + 1)
     ]
-    for path, K in sched.mine(grid):
+
+    def work(job):
+        path, K = job
         stem = os.path.splitext(os.path.basename(path))[0]
         enc_args = ["-i", path, "-o", args.output_dir, "-K", str(K)] + base_flags
         print(f"[sweep] encode {stem} K={K}")
@@ -95,6 +102,10 @@ def main(argv=None) -> int:
         print(f"[sweep] decode {stem} K={K}")
         dec_flags = ["--mesh", args.mesh] if args.mesh else []
         decode_cli.main(["-i", bin_path, "-org", path] + dec_flags)
+
+    # the encode/decode CLIs are themselves idempotent (log-marker resume),
+    # so retried jobs skip completed halves
+    sched.run(grid, work, retries=args.retries)
     return 0
 
 

@@ -67,12 +67,28 @@ class JobScheduler:
         jobs: Sequence[T],
         work: Callable[[T], None],
         done: Optional[Callable[[T], bool]] = None,
+        retries: int = 0,
     ) -> List[T]:
-        """Run this process's share; returns the jobs it executed."""
+        """Run this process's share; returns the jobs it executed.
+
+        `retries`: per-job retry budget for transient failures (a killed
+        device claim, a flaky remote compile) — the job re-runs up to
+        `retries` extra times before its exception propagates.  With a
+        `done` marker this composes with sweep-level resume: a job that
+        completed between attempts is skipped on retry.
+        """
         ran = []
         for job in self.mine(jobs):
             if done is not None and done(job):
                 continue
-            work(job)
+            for attempt in range(retries + 1):
+                if attempt and done is not None and done(job):
+                    break
+                try:
+                    work(job)
+                    break
+                except Exception:
+                    if attempt == retries:
+                        raise
             ran.append(job)
         return ran

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from lbdrn_msic_tpu.parallel.distributed import JobScheduler, initialize_cluster
 from lbdrn_msic_tpu.utils.profiling import PhaseTimer
 
@@ -26,6 +28,36 @@ def test_job_scheduler_resume():
         ["a", "b", "c"], work=lambda j: None, done=lambda j: j in done
     )
     assert ran == ["b", "c"]
+
+
+def test_job_scheduler_retries():
+    """Transient failures retry up to the budget; persistent ones raise;
+    a job completed between attempts is skipped via the done marker."""
+    attempts = {}
+
+    def flaky(j):
+        attempts[j] = attempts.get(j, 0) + 1
+        if j == "b" and attempts[j] < 3:
+            raise RuntimeError("transient")
+
+    ran = JobScheduler().run(["a", "b"], flaky, retries=2)
+    assert ran == ["a", "b"] and attempts == {"a": 1, "b": 3}
+
+    with pytest.raises(ZeroDivisionError):
+        JobScheduler().run(["c"], lambda j: 1 / 0, retries=1)
+
+    # completes out-of-band after the first failure -> retry skips the work
+    state = {"n": 0, "done": False}
+
+    def once(j):
+        state["n"] += 1
+        state["done"] = True
+        raise RuntimeError("died after completing")
+
+    ran = JobScheduler().run(
+        ["x"], once, done=lambda j: state["done"], retries=1
+    )
+    assert ran == ["x"] and state["n"] == 1
 
 
 def test_trace_smoke(tmp_path):
