@@ -152,6 +152,8 @@ class CodecConfig:
         )
         if t.schedule != "step":
             name += f"_{t.schedule}"
+        if t.sample_granule != 1:
+            name += f"_g{t.sample_granule}"
         return name
 
 

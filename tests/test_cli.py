@@ -159,3 +159,22 @@ def test_visualize_cli(tmp_path):
         "scene_msb_lsb_K5.png", "scene_true.png",
     ]
     assert all(os.path.getsize(os.path.join(out, n)) > 1000 for n in names)
+
+
+def test_run_name_suffixes_non_reference_knobs():
+    """Default configs keep reference-identical run-dir names; the cosine
+    schedule and non-default sampling granule get suffixes so runs don't
+    collide with (or resume-skip) differently-configured ones."""
+    import dataclasses
+
+    from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
+
+    ref = CodecConfig(K=5).run_name("img")
+    assert ref == "img_r1_K5_bc64_nl2_D2_prec16_lr0.001_bs8192_e10"
+    cos = CodecConfig(K=5, train=TrainSpec(schedule="cosine")).run_name("img")
+    g8 = CodecConfig(K=5, train=TrainSpec(sample_granule=8)).run_name("img")
+    both = CodecConfig(
+        K=5, train=TrainSpec(schedule="cosine", sample_granule=8)
+    ).run_name("img")
+    assert cos == ref + "_cosine" and g8 == ref + "_g8"
+    assert both == ref + "_cosine_g8"
