@@ -27,8 +27,15 @@ def summarize(
     csv_name = (
         f"results_r{cfg0.split_ratio}_bc{cfg0.model.base_channel}"
         f"_nl{cfg0.model.num_layers}_D{cfg0.features.D}_prec{cfg0.precision}"
-        f"_lr{t.lr}_bs{t.batch_size}_e{t.epochs}.csv"
+        f"_lr{t.lr}_bs{t.batch_size}_e{t.epochs}"
     )
+    # non-reference knobs get the same suffixes as run dirs so summaries
+    # of differently-configured sweeps don't clobber each other
+    if t.schedule != "step":
+        csv_name += f"_{t.schedule}"
+    if t.sample_granule != 1:
+        csv_name += f"_g{t.sample_granule}"
+    csv_name += ".csv"
     csv_path = os.path.join(output_dir, csv_name)
     metrics = ["MSE", "PSNR", "bpsp", "bits"]
     header = ["K"] + [f"{s}_{m}" for s in stems for m in metrics]

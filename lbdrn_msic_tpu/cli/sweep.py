@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.pipeline or args.batch_experts:
+        if args.retries:
+            print("[sweep] note: --retries applies to the per-job scheduler "
+                  "path only; --pipeline/--batch-experts rely on rerunning "
+                  "the sweep (completed jobs resume-skip)", flush=True)
         return _pipelined_sweep(args)
 
     sched = _scheduler_from_args(args)

@@ -39,23 +39,34 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     img = read_tiff(args.path)
+    C = img.shape[0]
     os.makedirs(args.out_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.path))[0]
     made = []
 
     if args.bands is not None:
+        if not all(0 <= b < C for b in args.bands):
+            raise SystemExit(
+                f"--bands {args.bands} out of range for a {C}-band image"
+            )
         made.append(save_composite(
             img, os.path.join(args.out_dir, f"{stem}_composite.png"),
             bands=tuple(args.bands),
         ))
-    else:
+    elif C >= 3:
         made.append(save_composite(
             img, os.path.join(args.out_dir, f"{stem}_true.png"), (2, 1, 0)
         ))
-        if img.shape[0] >= 4:
+        if C >= 4:
             made.append(save_composite(
                 img, os.path.join(args.out_dir, f"{stem}_false.png"), (3, 2, 1)
             ))
+    else:  # 1-2 bands: grayscale of band 0
+        made.append(save_composite(
+            img, os.path.join(args.out_dir, f"{stem}_gray.png"), (0, 0, 0)
+        ))
+    if not (0 <= args.band < C):
+        raise SystemExit(f"--band {args.band} out of range ({C} bands)")
 
     if args.msb_lsb is not None:
         made.append(msb_lsb_figure(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Callable, List, Optional, Sequence, TypeVar
 
 import jax
@@ -77,6 +78,8 @@ class JobScheduler:
         `done` marker this composes with sweep-level resume: a job that
         completed between attempts is skipped on retry.
         """
+        if retries < 0:
+            raise ValueError(f"retries must be >= 0, got {retries}")
         ran = []
         for job in self.mine(jobs):
             if done is not None and done(job):
@@ -87,8 +90,13 @@ class JobScheduler:
                 try:
                     work(job)
                     break
-                except Exception:
+                except Exception as e:
                     if attempt == retries:
                         raise
+                    print(
+                        f"[scheduler] job {job!r} attempt {attempt + 1} "
+                        f"failed ({type(e).__name__}: {e}); retrying",
+                        file=sys.stderr,
+                    )
             ran.append(job)
         return ran

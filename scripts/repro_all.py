@@ -22,9 +22,12 @@ Usage: python scripts/repro_all.py [--only rd,recipe] [--skip-flagship]
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = {
     "rd": [sys.executable, "scripts/rd_validation.py"],
@@ -55,7 +58,7 @@ def main() -> int:
             cmd = cmd[:-1]  # default sizes instead of --flagship
         print(f"\n=== [{name}] {' '.join(cmd)}", flush=True)
         t0 = time.time()
-        rc = subprocess.run(cmd).returncode
+        rc = subprocess.run(cmd, cwd=REPO).returncode
         print(f"=== [{name}] rc={rc} in {time.time()-t0:.0f}s", flush=True)
         if rc != 0:
             failures.append(name)
