@@ -41,6 +41,16 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = config_from_args(args)
+    if args.header_version == 0:
+        # the v0 HEADER is byte-exact to the reference's layout but the
+        # BODY is not reference-wire (docs/FORMAT.md "v0 body deviation
+        # record"): reference tooling cannot decode this stream
+        print(
+            "[encode] warning: --header-version 0 writes the reference's "
+            "header byte layout but NOT its body wire format (fpzip/JP2) — "
+            "only this framework can decode the stream (docs/FORMAT.md).",
+            file=sys.stderr,
+        )
     stem = os.path.splitext(os.path.basename(args.path))[0]
     out_dir = os.path.join(args.output_dir, cfg.run_name(stem))
     os.makedirs(out_dir, exist_ok=True)

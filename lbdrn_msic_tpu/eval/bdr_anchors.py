@@ -101,14 +101,18 @@ def assemble_and_psnr(
     else:
         mask = int("1" * (in_bits + 3) + "0" * (13 - in_bits), 2)
     recon = np.concatenate([recon, hwc[:, :, n_c * 3 :] & mask], axis=2)
-    bgr = 10 * np.log10(
-        peak**2
-        / np.mean((recon[:, :, :3].astype(np.float64) - hwc[:, :, :3]) ** 2)
-    )
-    full = 10 * np.log10(
-        peak**2 / np.mean((recon.astype(np.float64) - hwc) ** 2)
-    )
-    return float(bgr), float(full)
+
+    def _psnr(a, b):
+        # guard the perfect-recon case as eval/metrics.py::psnr does
+        # (peak**2 / 0 would emit a divide-by-zero RuntimeWarning)
+        m = np.mean((a.astype(np.float64) - b) ** 2)
+        if m == 0:
+            return float("inf")
+        return float(10 * np.log10(peak**2 / m))
+
+    bgr = _psnr(recon[:, :, :3], hwc[:, :, :3])
+    full = _psnr(recon, hwc)
+    return bgr, full
 
 
 def run_external_model(
@@ -122,6 +126,56 @@ def run_external_model(
             "clone it and pass its path to enable this anchor"
         )
     subprocess.run(list(test_cmd), check=True, cwd=cwd or repo_dir)
+
+
+def external_repo_dir(env_var: str) -> Optional[str]:
+    """Path of an external anchor checkout from `env_var` (e.g.
+    BITMORE_REPO / ABCD_REPO), or None when absent — the gate the
+    skip-marked real-path tests use."""
+    d = os.environ.get(env_var)
+    return d if d and os.path.isfile(os.path.join(d, "test.py")) else None
+
+
+def bitmore_command(
+    set_name: str, in_bits: int, hbd: int = 16, python: Optional[str] = None
+) -> list:
+    """The BitMore repo's test.py invocation, argument-for-argument as the
+    reference builds it (reference SOTA_BDR.py:166-170)."""
+    import sys as _sys
+
+    return [
+        python or _sys.executable, "test.py",
+        "--set_names", set_name,
+        "--type_8_or_16", "1",
+        "--quant", str(in_bits), "--quant_end", str(hbd),
+        "--dep", "16", "--save_result", "1",
+    ]
+
+
+def abcd_command(
+    div_dir: str, save_path: str, in_bits: int, hbd: int = 16,
+    model: str = "edsr", python: Optional[str] = None,
+) -> list:
+    """The ABCD repo's test.py invocation as the reference builds it
+    (reference SOTA_BDR.py:124-137), including the per-model checkpoint
+    flags."""
+    import sys as _sys
+
+    cmd = [
+        python or _sys.executable, "test.py",
+        "--config", "configs/test_ABCD/abcd_test-16bits.yaml",
+        "--testset_root", div_dir,
+        "--save_path", save_path,
+        "--LBD", str(in_bits), "--HBD", str(hbd),
+        "--gpu", "0", "--save", "1",
+    ]
+    if model == "edsr":
+        cmd += ["--model", "save/edsr-abcd.pth"]
+    elif model == "swin":
+        cmd += ["--model", "save/swin_abcd.pth", "--window", "8"]
+    else:
+        raise ValueError(f"unknown ABCD model {model!r}")
+    return cmd
 
 
 def psnr_grid_to_csv(

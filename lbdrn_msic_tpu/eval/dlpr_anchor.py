@@ -15,7 +15,9 @@ here are fully functional and covered by tests with mock codecs.
 from __future__ import annotations
 
 import csv
+import os
 import struct
+import sys
 import time
 from typing import Callable, Dict, List, Sequence, Tuple
 
@@ -24,6 +26,96 @@ import numpy as np
 from lbdrn_msic_tpu.eval.metrics import PSNR_PEAK
 
 BLOCK = 3000  # reference DLPR_nll.py's big-file blocking
+
+# default checkout location, matching the reference's symlink convention
+# (reference DLPR_nll.py:26); override with the DLPR_REPO env var
+DLPR_REPO_DEFAULT = "Deep-Lossy-Plus-Residual-Coding/DLPR_nll"
+
+
+def dlpr_repo_dir() -> str:
+    return os.environ.get("DLPR_REPO", DLPR_REPO_DEFAULT)
+
+
+def external_dlpr_available(repo_dir: str | None = None) -> bool:
+    """True when the external DLPR checkout (nll_test.py entry point) is
+    present — the gate for the real learned codec vs the substitute."""
+    d = repo_dir or dlpr_repo_dir()
+    return os.path.isfile(os.path.join(d, "nll_test.py"))
+
+
+def external_dl_codec(
+    tau: int, repo_dir: str | None = None, nll_model=None
+) -> Tuple[DLCodec, DLDecode]:
+    """(encode, decode) over (3, h, w) uint16 blocks via the REAL external
+    DLPR near-lossless codec (reference DLPR_nll.py:300-370: sys.path the
+    repo, call its nll_test compress/decompress with the 7x7 coding-order
+    table).  DLPR consumes float32 HWC in [0,255]-ish range trained on
+    8-bit imagery, so 16-bit bands ride the reference's MSB/LSB byte split.
+
+    Requires the repo checkout (+ its pretrained weights and compressai);
+    callers gate on external_dlpr_available().  `nll_model` may be passed
+    pre-loaded to amortize weight loading across blocks/taus.
+    """
+    d = repo_dir or dlpr_repo_dir()
+    if not external_dlpr_available(d):
+        raise RuntimeError(
+            f"external DLPR repo not found at {d}; clone "
+            "Deep-Lossy-Plus-Residual-Coding (or set DLPR_REPO) to enable "
+            "the real anchor — eval.dlpr_anchor works end-to-end with a "
+            "substitute codec otherwise"
+        )
+    if d not in sys.path:
+        sys.path.insert(0, d)
+    from nll_test import coding_order_table7x7, compress, decompress  # type: ignore
+
+    if nll_model is None:
+        from nll_model_eval import NearLosslessCompressor  # type: ignore
+
+        nll_model = NearLosslessCompressor()
+    cot = coding_order_table7x7()
+
+    def enc(block: np.ndarray) -> bytes:
+        hwc = block.transpose(1, 2, 0).astype(np.float32)
+        code_lossy, code_res, img_shape, res_range = compress(
+            nll_model, hwc, cot, tau
+        )
+        # the reference writes these through write_ints/write_body into a
+        # temp file (DLPR_nll.py:309-325); pack the same fields here
+        out = bytearray(struct.pack("<II", *img_shape[2:]))
+        parts = (
+            list(code_lossy["img_strings"][0])
+            + list(code_lossy["img_strings"][1])
+            + list(code_res)
+        )
+        out += struct.pack(
+            "<II", len(code_lossy["img_strings"][0]), len(code_res)
+        )
+        out += struct.pack("<ii", *res_range)
+        for p in parts:
+            out += struct.pack("<I", len(p))
+            out += p
+        return bytes(out)
+
+    def dec(data: bytes) -> np.ndarray:
+        h, w = struct.unpack_from("<II", data, 0)
+        n_lossy, n_res = struct.unpack_from("<II", data, 8)
+        res_range = list(struct.unpack_from("<ii", data, 16))
+        ptr = 24
+        parts = []
+        for _ in range(2 * n_lossy + n_res):
+            (ln,) = struct.unpack_from("<I", data, ptr)
+            ptr += 4
+            parts.append(data[ptr : ptr + ln])
+            ptr += ln
+        code_lossy = {
+            "img_strings": [parts[:n_lossy], parts[n_lossy : 2 * n_lossy]],
+            "shape": [1, 3, h, w],
+        }
+        code_res = parts[2 * n_lossy :]
+        hwc = decompress(nll_model, code_lossy, code_res, res_range, cot, tau)
+        return np.asarray(hwc).transpose(2, 0, 1).astype(np.uint16)
+
+    return enc, dec
 
 # (encode, decode) over a (3, h, w) uint16 block; encode -> bytes
 DLCodec = Callable[[np.ndarray], bytes]

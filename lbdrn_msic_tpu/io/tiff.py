@@ -84,7 +84,11 @@ def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
 
     With `expected` set, the native C++ decoder handles the chunk (a
     Python byte-loop is ~100x too slow for production GeoTIFF reads);
-    this loop is the byte-exact oracle and the portability fallback."""
+    this loop is the byte-exact oracle and the portability fallback.
+    Both paths cap the output at `expected` — a (malformed) strip coding
+    more rows than the TIFF geometry claims truncates identically whether
+    or not the native library built, so pixel output is never
+    platform-dependent."""
     if expected is not None:
         out = _native_chunk_decode("lbdrn_lzw_decode", data, expected)
         if out is not None:
@@ -126,6 +130,8 @@ def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
+        if expected is not None and len(out) >= expected:
+            return bytes(out[:expected])
         # early-change: bump width one code before the table fills
         if len(table) + 1 >= (1 << code_len) and code_len < 12:
             code_len += 1
@@ -148,6 +154,8 @@ def _packbits_decode(data: bytes, expected: int | None = None) -> bytes:
         elif b > 128:
             out += data[i : i + 1] * (257 - b)
             i += 1
+        if expected is not None and len(out) >= expected:
+            return bytes(out[:expected])  # cap as the native decoder does
     return bytes(out)
 
 

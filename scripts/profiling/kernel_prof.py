@@ -96,7 +96,7 @@ def make_kernel(mode: str, use_dg: bool):
         y = y_ref[...]
         mask = mask_ref[...]
 
-        from lbdrn_msic_tpu.ops.fused_step import _fwd_bwd, sincos as _prod_sincos
+        from lbdrn_msic_tpu.ops.fused_step import _fwd_bwd
 
         if mode in ("prod_f32", "prod_bf16"):
             # the production shared forward/backward (sincos + optional bf16)
@@ -134,11 +134,11 @@ def make_kernel(mode: str, use_dg: bool):
                 loss_ref[...] = loss_acc[...] * inv
             return
 
+        # fast_full measures the 2pi-period poly prototypes exactly as the
+        # docstring says (the production shared-reduction sincos is what
+        # prod_f32 measures, via _fwd_bwd)
         sin_fn = _fast_sin if mode == "fast_full" else jnp.sin
         cos_fn = _fast_cos if mode == "fast_full" else jnp.cos
-        if mode == "fast_full":  # production shared-reduction sincos
-            sin_fn = lambda u: _prod_sincos(u)[0]
-            cos_fn = lambda u: _prod_sincos(u)[1]
         zs = []
         h = x
         for l in range(L - 1):

@@ -161,6 +161,25 @@ def test_visualize_cli(tmp_path):
     assert all(os.path.getsize(os.path.join(out, n)) > 1000 for n in names)
 
 
+def test_header_v0_warns_about_body_deviation(tmp_path, capsys):
+    """--header-version 0 writes the reference's header byte layout but a
+    non-reference body (docs/FORMAT.md deviation record) — the CLI must say
+    so loudly so nobody ships a v0 stream expecting reference tooling to
+    read it (VERDICT r3 #9)."""
+    img = synth_scene(48, 48, channels=2, seed=51)
+    tif = str(tmp_path / "v0.tif")
+    write_tiff(tif, img)
+    out = str(tmp_path / "out")
+    assert encode_cli.main(
+        ["-i", tif, "-o", out, "-K", "5", "--header-version", "0"] + FAST
+    ) == 0
+    err = capsys.readouterr().err
+    assert "NOT its body wire format" in err
+    # default v1 encodes must stay quiet
+    assert encode_cli.main(["-i", tif, "-o", out, "-K", "6"] + FAST) == 0
+    assert "body wire format" not in capsys.readouterr().err
+
+
 def test_run_name_suffixes_non_reference_knobs():
     """Default configs keep reference-identical run-dir names; the cosine
     schedule and non-default sampling granule get suffixes so runs don't
