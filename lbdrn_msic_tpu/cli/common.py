@@ -11,6 +11,10 @@ def add_codec_args(p: argparse.ArgumentParser, encode: bool = True):
     """Flag set mirrors reference encode.py:168-196 plus the switches the
     reference keeps in constants.py (here first-class and header-carried)."""
     p.add_argument("--seed", type=int, default=19920517)
+    p.add_argument("--compile-log", action="store_true",
+                   help="print per-jitted-program compile seconds after the "
+                        "run (utils/compile_log) — attributes warm-up cost "
+                        "to programs vs the variable remote compile service")
     p.add_argument(
         "--mesh", type=str, default=None, metavar="AXES",
         help="device mesh spec, e.g. 'dp=4', 'ep=8' or 'dp=2,ep=4': dp trains "
@@ -49,6 +53,15 @@ def add_codec_args(p: argparse.ArgumentParser, encode: bool = True):
                        help="shuffle g-pixel runs instead of single pixels "
                             "(g=1 = reference semantics; g=8 measured at "
                             "+0.006%% BD-Rate, VALIDATION.md)")
+        p.add_argument("--bucket", action="store_true",
+                       help="shape-bucketed training: pad each tile to a "
+                            "canonical bucket (codec.bucket_dims) with the "
+                            "pad masked out, so a heterogeneous dataset "
+                            "reuses O(buckets) compiled device programs "
+                            "instead of O(shapes) — the remote compile "
+                            "service dominates multi-shape sweeps otherwise. "
+                            "RD-equivalent, not byte-identical, to exact-"
+                            "shape runs")
         # codec selection (new; carried in the v1 header)
         p.add_argument("--base-codec", choices=["jp2", "lpc"], default="jp2")
         p.add_argument("--weight-codec", choices=["fpz", "raw16"], default="fpz")

@@ -47,7 +47,18 @@ def main(argv=None) -> int:
     t0 = time.time()
     with open(args.bin_path, "rb") as f:
         stream = f.read()
-    rec, dstats = decode_stream(stream, mesh=mesh)
+    import contextlib
+
+    if args.compile_log:
+        from lbdrn_msic_tpu.utils.compile_log import CompileLog
+
+        cl = CompileLog()
+    else:
+        cl = contextlib.nullcontext()
+    with cl:
+        rec, dstats = decode_stream(stream, mesh=mesh)
+    if args.compile_log:
+        print(cl.report(), file=sys.stderr)
     recon_path = os.path.join(dirname, f"{stem}_recon.tif")
     write_tiff(recon_path, rec)
     log.info(f"Recon: {recon_path}")

@@ -72,11 +72,22 @@ def main(argv=None) -> int:
     from lbdrn_msic_tpu.utils.profiling import trace
 
     tr = trace(args.trace) if args.trace else contextlib.nullcontext()
-    with tr:
+    if args.compile_log:
+        from lbdrn_msic_tpu.utils.compile_log import CompileLog
+
+        cl = CompileLog()
+    else:
+        cl = contextlib.nullcontext()
+    with tr, cl:
         stream, stats = encode_image(img, cfg, key=key,
                                      header_version=args.header_version,
                                      collect_curves=args.tensorboard,
-                                     mesh=mesh_from_args(args))
+                                     mesh=mesh_from_args(args),
+                                     bucket=args.bucket)
+    if args.compile_log:
+        print(cl.report(), file=sys.stderr)
+        log.info(f"compile: {cl.total():.1f}s backend over "
+                 f"{sum(cl.counts().values())} programs")
     write_encode_outputs(log, bin_path, stem, stream, stats, t0,
                          tensorboard=args.tensorboard,
                          out_dir=out_dir)

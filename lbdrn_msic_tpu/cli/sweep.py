@@ -79,7 +79,8 @@ def main(argv=None) -> int:
     for flag, on in [
         ("--use-coords", args.use_coords), ("--embedding", args.embedding),
         ("--no-colors", args.no_colors), ("--abs-colors", args.abs_colors),
-        ("-rn", args.randomness),
+        ("-rn", args.randomness), ("--compile-log", args.compile_log),
+        ("--bucket", args.bucket),
     ]:
         if on:
             base_flags.append(flag)
@@ -194,7 +195,7 @@ def _pipelined_sweep(args) -> int:
                 i = j
         else:
             print(f"[sweep] pipelined encode of {len(jobs)} jobs")
-            results = encode_pipelined(jobs)
+            results = encode_pipelined(jobs, bucket=args.bucket)
         for (stem, path, run_dir, bin_path), (stream, stats) in zip(meta, results):
             os.makedirs(run_dir, exist_ok=True)
             log = RunLogger(run_dir, "encode.txt", to_stdout=False)

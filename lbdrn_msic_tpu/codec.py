@@ -147,6 +147,50 @@ def pick_staging(H, W, C, max_msb, fspec, tspec, warn=True):
     return "gather", tap_dt
 
 
+BUCKET_SMALL_Q, BUCKET_LARGE_Q = 128, 512
+
+
+def bucket_dims(H: int, W: int, D: int = 0) -> tuple[int, int]:
+    """Canonical bucket shape for (H, W): each dim rounds up to a 128
+    multiple (<= 1024) or a 512 multiple (above), so a heterogeneous
+    dataset reuses O(buckets) compiled device programs instead of
+    O(distinct shapes) — the whole per-shape program set (h2d delta
+    decode, prep, the big jitted fit) compiles once per bucket
+    (VERDICT r3 #1).  The reference Gaofen shapes collapse nicely:
+    7340x7815 and 7605x7815 (GF-2) share 7680x8192; 6000^2 (GF-6)
+    becomes 6144^2 — 3 distinct fits drop to 2.
+
+    A dim that buckets to within D of the actual size takes the next
+    step up: >= D pad rows/cols keep edge-pixel feature windows exactly
+    equal to the actual-shape reflect pad (see _pad_to_bucket)."""
+    def up(x: int) -> int:
+        q = BUCKET_SMALL_Q if x <= 1024 else BUCKET_LARGE_Q
+        b = -(-x // q) * q
+        if b != x and b - x < D:
+            b += q
+        return b
+
+    return up(H), up(W)
+
+
+def _pad_to_bucket(tile: np.ndarray, D: int, Hb: int, Wb: int) -> np.ndarray:
+    """Pad (C, H, W) -> (C, Hb, Wb): the first D rows/cols past each
+    actual edge REFLECT the image — so every valid pixel's (2D+1)^2
+    feature window reads exactly the values the actual-shape reflect pad
+    (features/engine.pad_plane, reference LBDRNdataset.py:119) would give
+    it, including the bottom-right corner (reflect composes per-axis) —
+    and the remainder is edge-replicated (never read by valid windows,
+    masked out of every batch; replication keeps max() unchanged so
+    plane_scale is identical)."""
+    C, H, W = tile.shape
+    dh, dw = Hb - H, Wb - W
+    rh, rw = min(D, dh, H - 1), min(D, dw, W - 1)
+    out = np.pad(tile, ((0, 0), (0, rh), (0, rw)), mode="reflect")
+    if dh > rh or dw > rw:
+        out = np.pad(out, ((0, 0), (0, dh - rh), (0, dw - rw)), mode="edge")
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("D",))
 def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
     """One fused device program for all training prep: MSB/LSB split,
@@ -159,7 +203,7 @@ def _prepare_tile(img: jnp.ndarray, K: jnp.ndarray, D: int):
 
 
 def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None,
-                use_fused: Optional[bool] = None):
+                use_fused: Optional[bool] = None, bucket: bool = False):
     """Train one tile's network; returns (flat_fn, msb_fn, fit_result).
 
     Critical-path ordering: the host->device transfer is dispatched first
@@ -170,10 +214,35 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None,
     With `mesh` (a Mesh whose "dp" axis is > 1) the overfit loop runs
     data-parallel over the mesh: each device trains on its slice of every
     batch, gradients meet in a psum over ICI (parallel/shard.py::fit_dp).
+
+    `bucket=True` pads the tile up to its canonical bucket shape
+    (bucket_dims) and trains with the actual (H, W) traced — every device
+    program then compiles once per BUCKET, so heterogeneous sweeps stop
+    paying the remote compile service per distinct shape.  RD-equivalent
+    (not byte-identical) to the exact-shape fit; applies to the default
+    colors feature family on a single device (coords features normalize
+    by the static shape, and the dp path would shard the pad unevenly) —
+    other configs silently train exact-shape.
     """
     C, H, W = tile.shape
     fspec = cfg.features
-    dev = put_image(tile)  # delta-coded h2d (utils/transfer.py); dispatched async
+    hw = None
+    if (
+        bucket
+        and mesh is None
+        and fspec.use_colors
+        and not fspec.use_coords
+    ):
+        Hb, Wb = bucket_dims(H, W, fspec.D)
+        if (Hb, Wb) != (H, W):
+            dev_tile = _pad_to_bucket(tile, fspec.D, Hb, Wb)
+            hw = jnp.asarray([H, W], jnp.int32)
+            H, W = Hb, Wb
+        else:
+            dev_tile = tile
+    else:
+        dev_tile = tile
+    dev = put_image(dev_tile)  # delta-coded h2d (utils/transfer.py); async
     max_msb = int(tile.max()) >> cfg.K
 
     def msb_fn():
@@ -204,7 +273,7 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None,
             plane, plane_scale, labels, label_scale, key,
             fspec, cfg.model, cfg.train, H, W, C,
             staging=staging, tap_dtype=jnp.dtype(dtype).name,
-            use_fused=use_fused,
+            use_fused=use_fused, hw=hw,
         )
 
     def flat_fn():
@@ -221,6 +290,7 @@ def encode_image(
     collect_curves: bool = False,
     mesh=None,
     use_fused: Optional[bool] = None,
+    bucket: bool = False,
 ) -> tuple[bytes, EncodeStats]:
     """img: (C, H, W) uint16 -> (bitstream, stats).
 
@@ -238,6 +308,11 @@ def encode_image(
     data-parallel over the devices (psum-reduced grads over ICI).  Streams
     are deterministic but not byte-identical to single-device ones (grad
     reduction order differs); RD-equivalence is tested.
+
+    `bucket`: train shape-bucketed (see _train_tile) — heterogeneous
+    datasets then reuse compiled programs across images whose tiles share
+    a bucket.  Streams stay deterministic per (image, cfg, bucket flag)
+    but differ from bucket=False ones (different batch composition).
     """
     import concurrent.futures
 
@@ -322,7 +397,8 @@ def encode_image(
             with timer.phase("dispatch"):
                 # dispatches device training; returns before the TPU finishes
                 flat_fn, msb_fn, result = _train_tile(
-                    tile, cfg, tkey, mesh=mesh, use_fused=use_fused
+                    tile, cfg, tkey, mesh=mesh, use_fused=use_fused,
+                    bucket=bucket,
                 )
                 base_future = pool.submit(
                     lambda fn=msb_fn: encode_base(fn(), cfg.base_codec)
@@ -361,6 +437,7 @@ def encode_pipelined(
     jobs: List[tuple[np.ndarray, CodecConfig]],
     key: Optional[jax.Array] = None,
     header_version: int = 1,
+    bucket: bool = False,
 ) -> List[tuple[bytes, EncodeStats]]:
     """Encode a list of (image, cfg) jobs with cross-job pipelining.
 
@@ -420,11 +497,14 @@ def encode_pipelined(
                     if pending is not None:
                         finalize(pending)
                         pending = None
-                    results[i] = encode_image(img, cfg, job_key, header_version)
+                    results[i] = encode_image(
+                        img, cfg, job_key, header_version, bucket=bucket
+                    )
                     continue
                 t_start = time.time()
                 tkey = jax.random.fold_in(job_key, 0)
-                flat_fn, msb_fn, result = _train_tile(img, cfg, tkey)
+                flat_fn, msb_fn, result = _train_tile(img, cfg, tkey,
+                                                      bucket=bucket)
                 base_future = pool.submit(
                     lambda fn=msb_fn, c=cfg: encode_base(fn(), c.base_codec)
                 )

@@ -110,8 +110,14 @@ def dataset_mse(
     fast_act: bool = False,
     tap_cache: jnp.ndarray | None = None,
     tap_g: int = 1,
+    hw: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full-image MSE via the slice path (one scan over row blocks).
+
+    `hw`: optional traced (2,) int32 actual (height, width) for
+    shape-bucketed fits — H/W are then the BUCKET dims and pixels at
+    row >= hw[0] or col >= hw[1] are masked out of the SSE, which is
+    normalized by the actual pixel count (see fit_core's `hw`).
 
     `labels` is the (C, H, W) integer LSB plane (2-D (H*W, C) matrices are
     catastrophically lane-padded as program inputs on TPU — see
@@ -160,7 +166,12 @@ def dataset_mse(
         pred = forward(params, x, mspec, fast_act=fast_act)
         rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         valid = (rows >= b_safe * R) & (rows < H)  # skip rows a clamped r0 re-reads
-        mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
+        if hw is not None:
+            valid = valid & (rows < hw[0])
+            cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+            mask = (valid & (cols < hw[1])).reshape(-1)
+        else:
+            mask = jnp.broadcast_to(valid, (R, W)).reshape(-1)
         yb = jax.lax.dynamic_slice(labels, (0, r0, 0), (C, R, W))
         y = jnp.transpose(yb.reshape(C, R * W), (1, 0))
         y = y.astype(jnp.float32) * label_scale
@@ -171,6 +182,10 @@ def dataset_mse(
     sse, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_outer))
     if axis_name:
         sse = jax.lax.psum(sse, axis_name)
+    if hw is not None:
+        return sse / (
+            hw[0].astype(jnp.float32) * hw[1].astype(jnp.float32) * C
+        )
     return sse / (H * W * C)
 
 
@@ -193,8 +208,21 @@ def fit_core(
     use_fused: bool = False,
     multi_k: int | None = None,
     mm_dtype: str | None = None,
+    hw: jnp.ndarray | None = None,
 ) -> FitResult:
     """Overfit one network to one image tile; everything on device.
+
+    `hw`: optional traced (2,) int32 ACTUAL (height, width) for
+    shape-bucketed fits — H/W are then canonical bucket dims (the static
+    shapes every device program compiles for) and the inputs are padded
+    up to them; pixels at row >= hw[0] or col >= hw[1] are masked out of
+    every batch and eval exactly like the existing partial-batch padding,
+    so a heterogeneous dataset reuses O(buckets) compiled programs
+    instead of O(shapes) (VERDICT r3 #1).  The epoch permutation runs
+    over the bucket grid (each real pixel still visited exactly once per
+    epoch, uniformly shuffled; batches carry a masked fraction), which
+    makes bucketed fits RD-equivalent — not byte-identical — to
+    exact-shape fits.
 
     plane: (C, H+2D, W+2D) uint16 padded base plane; plane_scale: 1/max.
     labels: (C, H, W) uint16 raw LSB plane; label_scale: 1/(2^K-1).
@@ -319,6 +347,10 @@ def fit_core(
             return staged_features(taps, plane_scale, idx, fspec, H, W)
         return gather_features(plane, plane_scale, idx, fspec, H, W)
 
+    def in_image(pix):
+        """Bucketed fits: flat bucket-grid pixel ids -> in-actual-image."""
+        return (pix // W < hw[0]) & (pix % W < hw[1])
+
     def make_batch(gidx):
         """granule ids (bpg_local,) -> (x, y, mask) for the local batch."""
         if staging == "cached":
@@ -327,13 +359,18 @@ def fit_core(
             gvalid = gidx < n_g
             gi = jnp.clip(gidx, 0, n_g - 1)
             if g == 1:
+                if hw is not None:
+                    gvalid = gvalid & in_image(gi)
                 mask = gvalid.astype(jnp.float32)
                 x = x_cache[gi]
                 y = gather_pixel_labels(label_store, gi, C)
                 y = y.astype(jnp.float32) * label_scale
                 return x, y, mask
             pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
-            mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+            valid2d = gvalid[:, None] & (pix2d < n)
+            if hw is not None:
+                valid2d = valid2d & in_image(pix2d)
+            mask = valid2d.reshape(-1).astype(jnp.float32)
             x = x_cache_g[gi].reshape(bs_local, padded_in)
             y = (labels_g[gi].astype(jnp.float32) * label_scale).reshape(bs_local, C)
             return x, y, mask
@@ -341,7 +378,12 @@ def fit_core(
             gvalid = gidx < n_g
             gi = jnp.clip(gidx, 0, n_g - 1)
             jj = (gi % ng_row * g)[:, None] + jnp.arange(g)[None, :]
-            mask = (gvalid[:, None] & (jj < W)).reshape(-1).astype(jnp.float32)
+            valid2d = gvalid[:, None] & (jj < W)
+            if hw is not None:
+                valid2d = valid2d & (jj < hw[1]) & (
+                    (gi // ng_row)[:, None] < hw[0]
+                )
+            mask = valid2d.reshape(-1).astype(jnp.float32)
             x = pad_features(
                 banded_window_features(
                     row_taps, plane_scale, gi, fspec, H, W, g
@@ -357,8 +399,11 @@ def fit_core(
                 )
             return x, y, mask
         if g == 1:
-            mask = (gidx < n).astype(jnp.float32)
+            valid = gidx < n
             idx = jnp.clip(gidx, 0, n - 1)
+            if hw is not None:
+                valid = valid & in_image(idx)
+            mask = valid.astype(jnp.float32)
             x = pad_features(batch_features(idx), padded_in)
             y = gather_pixel_labels(label_store, idx, C)
             y = y.astype(jnp.float32) * label_scale
@@ -366,7 +411,10 @@ def fit_core(
         gvalid = gidx < n_g
         gi = jnp.clip(gidx, 0, n_g - 1)
         pix2d = (gi * g)[:, None] + jnp.arange(g)[None, :]
-        mask = (gvalid[:, None] & (pix2d < n)).reshape(-1).astype(jnp.float32)
+        valid2d = gvalid[:, None] & (pix2d < n)
+        if hw is not None:
+            valid2d = valid2d & in_image(pix2d)
+        mask = valid2d.reshape(-1).astype(jnp.float32)
         colors = (
             taps[gi].astype(jnp.float32) * plane_scale
         ).reshape(bs_local, -1)
@@ -403,7 +451,10 @@ def fit_core(
             if axis_name:
                 se = jax.lax.psum(se, axis_name)
                 cnt = jax.lax.psum(cnt, axis_name)
-            return se / cnt
+            # max(cnt, 1): a bucketed batch can in principle land entirely
+            # in the pad region; se is then 0 and the step is a no-op
+            # (matches the fused kernel's guard) instead of NaN-ing params
+            return se / jnp.maximum(cnt, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         if axis_name:
@@ -473,6 +524,7 @@ def fit_core(
                     fast_act=use_fused,
                     tap_cache=taps if tap_ok else None,
                     tap_g=g if tap_ok else 1,
+                    hw=hw,
                 )
                 better = mse < best_mse
                 new_best = jax.tree.map(
@@ -882,10 +934,13 @@ def fit(
     use_fused: bool = False,
     multi_k: int | None = None,
     mm_dtype: str | None = None,
+    hw: jnp.ndarray | None = None,
 ) -> FitResult:
-    """Single-device fit (see fit_core)."""
+    """Single-device fit (see fit_core).  `hw` (traced): actual (H, W)
+    when the static H/W are bucket dims — different actual shapes in one
+    bucket reuse this program's compile."""
     return fit_core(
         plane, plane_scale, labels, label_scale, key,
         fspec, mspec, tspec, H, W, C, staging, tap_dtype,
-        use_fused=use_fused, multi_k=multi_k, mm_dtype=mm_dtype,
+        use_fused=use_fused, multi_k=multi_k, mm_dtype=mm_dtype, hw=hw,
     )
