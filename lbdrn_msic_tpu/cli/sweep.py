@@ -31,10 +31,11 @@ def main(argv=None) -> int:
                         "job i+1's transfers/host codecs overlap job i's device "
                         "training; byte-identical streams, device-bound throughput")
     p.add_argument("--batch-experts", action="store_true",
-                   help="train every K rate point of an image simultaneously as "
-                        "batched experts in one device program "
-                        "(codec.encode_rate_points): fastest sweep mode; streams "
-                        "are RD-equivalent (not byte-identical) to per-job runs")
+                   help="train (image, K) jobs simultaneously as batched "
+                        "experts in one device program (codec.encode_dataset), "
+                        "filling the expert axis across images of one shape: "
+                        "fastest sweep mode; streams are RD-equivalent (not "
+                        "byte-identical) to per-job runs")
     p.add_argument("--retries", type=int, default=0,
                    help="per-(image,K) retry budget for transient failures "
                         "(flaky remote compile / device claim); completed "
@@ -176,23 +177,17 @@ def _pipelined_sweep(args) -> int:
 
     if jobs:
         if args.batch_experts:
-            from lbdrn_msic_tpu.codec import encode_rate_points
+            from lbdrn_msic_tpu.codec import encode_dataset
 
             mesh = mesh_from_args(args)
             print(f"[sweep] expert-batched encode of {len(jobs)} jobs"
                   + (f" over mesh {dict(mesh.shape)}" if mesh else ""))
-            results = []
-            i = 0
-            while i < len(jobs):  # group contiguous jobs of the same image
-                j = i
-                while j < len(jobs) and jobs[j][0] is jobs[i][0]:
-                    j += 1
-                results += encode_rate_points(
-                    jobs[i][0], [c for _, c in jobs[i:j]],
-                    header_version=args.header_version,
-                    mesh=mesh,
-                )
-                i = j
+            # experts are (image, K) pairs: same-shape jobs batch together
+            # ACROSS images, so few-rate-point dataset encodes still fill
+            # the expert axis (VERDICT r3 #2)
+            results = encode_dataset(
+                jobs, header_version=args.header_version, mesh=mesh
+            )
         else:
             print(f"[sweep] pipelined encode of {len(jobs)} jobs")
             results = encode_pipelined(jobs, bucket=args.bucket)

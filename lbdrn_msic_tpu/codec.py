@@ -551,53 +551,58 @@ def _expert_layout(E: int, ep: int) -> tuple[int, int, int]:
     return rounds, ep_eff, rounds * ep_eff
 
 
-def _encode_rate_points_mesh(
-    img: np.ndarray,
-    cfgs: List[CodecConfig],
+def _encode_jobs_mesh(
+    imgs: List[np.ndarray],
+    ijobs: List[tuple[int, CodecConfig]],
     key: Optional[jax.Array],
     header_version: int,
     mesh,
 ) -> List[tuple[bytes, EncodeStats]]:
-    """Rate points fanned out as experts over the mesh's "ep" axis: each
-    device trains its own K-rate network(s) independently — the reference's
-    run.sh shell fan-out (reference run.sh:29-40) as one sharded program.
-    Streams are deterministic; RD-equivalent (not byte-identical) to
-    single-device per-job encoding (vmapped matmul reduction order)."""
+    """(image, K) jobs fanned out as experts over the mesh's "ep" axis: each
+    device trains its own network(s) independently — the reference's run.sh
+    shell fan-out (reference run.sh:29-40) as one sharded program.  `ijobs`
+    are (index into imgs, cfg) pairs; all images share one shape and the
+    cfgs differ only in K (``_experts_compatible``).  Streams are
+    deterministic; RD-equivalent (not byte-identical) to single-device
+    per-job encoding (vmapped matmul reduction order)."""
     import concurrent.futures
 
     from lbdrn_msic_tpu.models.siren import flatten_params, unstack_params
     from lbdrn_msic_tpu.parallel.shard import fit_experts
 
-    C, H, W = img.shape
+    cfgs = [c for _, c in ijobs]
+    C, H, W = imgs[0].shape
     cfg0 = cfgs[0]
     fspec = cfg0.features
     ep = mesh.shape["ep"]
     if key is None:
         key = jax.random.PRNGKey(cfg0.train.seed)
     tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
-    E = len(cfgs)
+    E = len(ijobs)
     rounds, ep_eff, Epad = _expert_layout(E, ep)
     if ep_eff < ep:
         from jax.sharding import Mesh as _Mesh
 
         mesh = _Mesh(mesh.devices[:ep_eff], mesh.axis_names)
         ep = ep_eff
-    Ks = [c.K for c in cfgs] + [cfgs[-1].K] * (Epad - E)
+    # pad the expert axis with duplicates of the last job (results dropped)
+    ejobs = list(ijobs) + [ijobs[-1]] * (Epad - E)
+    Ks = [c.K for _, c in ejobs]
 
     t0 = time.time()
-    dev = put_image(img)
+    devs = {i: put_image(imgs[i]) for i in sorted({j for j, _ in ejobs})}
     planes, scales, labels_l, lscales = [], [], [], []
-    for Kv in Ks:
-        plane, scale, labels = _prepare_tile(dev, Kv, fspec.D)
+    for i, c in ejobs:
+        plane, scale, labels = _prepare_tile(devs[i], c.K, fspec.D)
         planes.append(plane)
         scales.append(scale)
         labels_l.append(labels)
-        lscales.append(jnp.float32(lsb_scale(Kv)))
+        lscales.append(jnp.float32(lsb_scale(c.K)))
 
     # uniform staging across experts (vmap): budget covers the whole stack
     from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
 
-    max_img = int(img.max())
+    max_img = max(int(imgs[i].max()) for i, _ in ejobs)
     g = cfg0.train.sample_granule
     staging, dtype = pick_staging(H, W, C, max_img >> min(Ks), fspec, cfg0.train)
     if staging != "gather":
@@ -636,19 +641,19 @@ def _encode_rate_points_mesh(
         staging=staging, tap_dtype=jnp.dtype(dtype).name,
     )
 
-    def base_one(K, codec=cfg0.base_codec):
-        msb = img >> K
-        if (max_img >> K) <= 255:
+    def base_one(i, K, codec=cfg0.base_codec):
+        msb = imgs[i] >> K
+        if (int(imgs[i].max()) >> K) <= 255:
             msb = msb.astype(np.uint8)
         return encode_base(msb, codec)
 
     results: List[tuple[bytes, EncodeStats]] = []
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-        base_futs = [pool.submit(base_one, c.K) for c in cfgs]
+        base_futs = [pool.submit(base_one, i, c.K) for i, c in ijobs]
         flats = jax.device_get(result.params)  # blocks on training
         best_mse, best_epoch = jax.device_get((result.best_mse, result.best_epoch))
         t_train = time.time() - t0
-        for e, cfg in enumerate(cfgs):
+        for e, (_, cfg) in enumerate(ijobs):
             flat = flatten_params(unstack_params(flats, e), fspec.feature_dim(C))
             nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
             base = base_futs[e].result()
@@ -704,7 +709,9 @@ def encode_rate_points(
     if not _experts_compatible(cfgs):
         return encode_pipelined([(img, c) for c in cfgs], key, header_version)
     if mesh is not None and mesh.shape.get("ep", 1) > 1:
-        return _encode_rate_points_mesh(img, cfgs, key, header_version, mesh)
+        return _encode_jobs_mesh(
+            [img], [(0, c) for c in cfgs], key, header_version, mesh
+        )
     cfg0 = cfgs[0]
     fspec = cfg0.features
 
@@ -791,6 +798,232 @@ def encode_rate_points(
                     elapsed=time.time() - t0,
                 )
                 results[i] = (stream, stats)
+    assert all(r is not None for r in results)
+    return results  # type: ignore[return-value]
+
+
+def encode_dataset(
+    jobs: List[tuple[np.ndarray, CodecConfig]],
+    key: Optional[jax.Array] = None,
+    header_version: int = 1,
+    mesh=None,
+    max_experts: int = 16,
+) -> List[tuple[bytes, EncodeStats]]:
+    """Encode a dataset of (image, cfg) jobs with cross-image expert batching.
+
+    The reference's full workload is an outer loop over 13 images x 11 rate
+    points run as independent shell jobs (reference run.sh:29-40);
+    `encode_rate_points` already batches the K axis of ONE image, but a
+    dataset encode at few rate points still leaves the ~11k-param MLP alone
+    on the chip.  Here experts are (image, K) pairs: jobs of one shape and
+    one config-modulo-K train together in chunks of up to `max_experts`
+    networks per jitted program (train/loop.py::fit_rate_experts with
+    `img_of`), label stores shared per image, host base/weight codecs and
+    the next chunk's h2d overlapped with device training.
+
+    Jobs that share no partner (unique shape or incompatible config) fall
+    back to `encode_image` per job.  Results are returned in job order and
+    are RD-equivalent to per-job `encode_image` at matched settings (same
+    data order, optimizer, eval cadence; batched-matmul reduction order
+    differs).  With ``key=None`` every expert uses the reference seed
+    semantics exactly as `encode_image` does; an explicit key is folded
+    per chunk for deterministic-but-distinct streams.
+    """
+    njobs = []
+    for img, cfg in jobs:
+        if img.ndim == 2:
+            img = img[None]
+        njobs.append((img, cfg))
+
+    # group job indices by (shape, config-modulo-K)
+    groups: List[List[int]] = []
+    for j, (img, cfg) in enumerate(njobs):
+        for grp in groups:
+            img0, cfg0 = njobs[grp[0]]
+            if img.shape == img0.shape and _experts_compatible([cfg0, cfg]):
+                grp.append(j)
+                break
+        else:
+            groups.append([j])
+
+    results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(njobs)
+    for grp in groups:
+        if len(grp) == 1:
+            j = grp[0]
+            img, cfg = njobs[j]
+            jkey = jax.random.fold_in(key, j) if key is not None else None
+            results[j] = encode_image(img, cfg, jkey, header_version)
+            continue
+        gres = _encode_job_group(
+            [njobs[j] for j in grp], key, header_version, mesh, max_experts
+        )
+        for j, r in zip(grp, gres):
+            results[j] = r
+    assert all(r is not None for r in results)
+    return results  # type: ignore[return-value]
+
+
+def _encode_job_group(
+    gjobs: List[tuple[np.ndarray, CodecConfig]],
+    key: Optional[jax.Array],
+    header_version: int,
+    mesh,
+    max_experts: int,
+) -> List[tuple[bytes, EncodeStats]]:
+    """Expert-batch one compatible group of (image, cfg) jobs (one shape,
+    configs differing only in K).  See `encode_dataset`."""
+    import concurrent.futures
+
+    from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
+    from lbdrn_msic_tpu.models.siren import flatten_params, unstack_params
+    from lbdrn_msic_tpu.train.loop import fit_rate_experts
+
+    # dedup images by identity: rate points of one image share its storage
+    uniq: List[np.ndarray] = []
+    idmap: dict = {}
+    ijobs: List[tuple[int, CodecConfig]] = []
+    for img, cfg in gjobs:
+        if id(img) not in idmap:
+            idmap[id(img)] = len(uniq)
+            uniq.append(img)
+        ijobs.append((idmap[id(img)], cfg))
+
+    if mesh is not None and mesh.shape.get("ep", 1) > 1:
+        return _encode_jobs_mesh(uniq, ijobs, key, header_version, mesh)
+
+    C, H, W = uniq[0].shape
+    cfg0 = gjobs[0][1]
+    fspec = cfg0.features
+    g = cfg0.train.sample_granule
+    maxes = [int(im.max()) for im in uniq]
+
+    tap_dts = [tap_matrix_dtype(maxes[i] >> c.K, fspec.relative) for i, c in ijobs]
+    raw_dts = [row_taps_dtype(maxes[i] >> c.K) for i, c in ijobs]
+    sizes = [
+        _staging_bytes(H, W, C, fspec, g, td, rd)
+        for td, rd in zip(tap_dts, raw_dts)
+    ]
+    # two chunks are in flight at once (next trains while previous
+    # finalizes), so each gets half the staging budget
+    budget = STAGE_BUDGET_BYTES // 2
+    # pick the staging mode that packs the most experts per chunk (the
+    # whole point is cross-job amortization); ties go to "full" (cheaper
+    # per step — docs/PERF.md staging table)
+    cap_full = min(max_experts, budget // max(max(s[0] for s in sizes), 1))
+    cap_banded = min(max_experts, budget // max(max(s[1] for s in sizes), 1))
+    if cap_full >= cap_banded and cap_full >= 1:
+        staging, dtypes = "full", tap_dts
+        per_expert = [s[0] for s in sizes]
+    elif cap_banded >= 1:
+        staging, dtypes = "banded", raw_dts
+        per_expert = [s[1] for s in sizes]
+    else:
+        return encode_pipelined(gjobs, key, header_version)
+
+    # chunk: pack whole images (their experts stay adjacent, so repeated
+    # sweeps produce few distinct (E, Ks, dtypes) program signatures);
+    # an image whose own experts overflow splits by budget
+    per_image_fixed = 4 * H * W * C  # uint16 image + label store
+    by_img: dict[int, List[int]] = {}
+    for e, (i, _) in enumerate(ijobs):
+        by_img.setdefault(i, []).append(e)
+    units: List[List[int]] = []  # expert-index spans that must stay whole
+    for i, es in by_img.items():
+        span: List[int] = []
+        acc = per_image_fixed
+        for e in es:
+            if span and (
+                len(span) >= max_experts
+                or acc + per_expert[e] > budget
+            ):
+                units.append(span)
+                span, acc = [], per_image_fixed
+            span.append(e)
+            acc += per_expert[e]
+        units.append(span)
+    chunks: List[List[int]] = [[]]
+    acc = 0
+    for span in units:
+        cost = per_image_fixed + sum(per_expert[e] for e in span)
+        if chunks[-1] and (
+            len(chunks[-1]) + len(span) > max_experts or acc + cost > budget
+        ):
+            chunks.append([])
+            acc = 0
+        chunks[-1].extend(span)
+        acc += cost
+
+    if key is None:
+        key = jax.random.PRNGKey(cfg0.train.seed)
+    tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
+
+    results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(gjobs)
+
+    def base_one(i, K, codec=cfg0.base_codec):
+        msb = uniq[i] >> K
+        if (maxes[i] >> K) <= 255:
+            msb = msb.astype(np.uint8)
+        return encode_base(msb, codec)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        pending = None  # (chunk, t0, result, base_futs)
+
+        def finalize(p):
+            chunk, t0, result, base_futs = p
+            flats = jax.device_get(result.params)  # blocks on this chunk
+            best_mse, best_epoch = jax.device_get(
+                (result.best_mse, result.best_epoch)
+            )
+            t_train = time.time() - t0
+            for e, jidx in enumerate(chunk):
+                i, cfg = ijobs[jidx]
+                flat = flatten_params(
+                    unstack_params(flats, e), fspec.feature_dim(C)
+                )
+                nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
+                base = base_futs[e].result()
+                header = header_from_config(
+                    cfg, W, H, [len(nn)], [len(base)], version=header_version
+                )
+                stream = encode_header(header) + nn + base
+                results[jidx] = (stream, EncodeStats(
+                    tiles=[TileStats(
+                        nn_bytes=len(nn), base_bytes=len(base),
+                        best_mse=float(best_mse[e]),
+                        best_epoch=int(best_epoch[e]),
+                        train_time=t_train / len(chunk), base_time=0.0,
+                    )],
+                    total_bytes=len(stream),
+                    n_subpixels=C * H * W,
+                    elapsed=time.time() - t0,
+                ))
+
+        for chunk in chunks:
+            t0 = time.time()
+            c_imgs = sorted({ijobs[j][0] for j in chunk})
+            remap = {i: r for r, i in enumerate(c_imgs)}
+            # h2d of this chunk's images overlaps the previous chunk's
+            # training (async dispatch; DMA rides under compute)
+            dev_imgs = jnp.stack([put_image(uniq[i]) for i in c_imgs])
+            Ks = tuple(ijobs[j][1].K for j in chunk)
+            img_of = tuple(remap[ijobs[j][0]] for j in chunk)
+            result = fit_rate_experts(
+                dev_imgs, Ks, tkey, fspec, cfg0.model, cfg0.train, H, W, C,
+                tuple(jnp.dtype(dtypes[j]).name for j in chunk),
+                use_fused=jax.default_backend() != "cpu",
+                staging=staging,
+                img_of=img_of,
+            )  # dispatched; returns before the TPU finishes
+            base_futs = [
+                pool.submit(base_one, ijobs[j][0], ijobs[j][1].K)
+                for j in chunk
+            ]
+            nxt = (chunk, t0, result, base_futs)
+            if pending is not None:
+                finalize(pending)  # host work overlaps this chunk's training
+            pending = nxt
+        if pending is not None:
+            finalize(pending)
     assert all(r is not None for r in results)
     return results  # type: ignore[return-value]
 

@@ -572,7 +572,7 @@ def fit_core(
     jax.jit,
     static_argnames=(
         "Ks", "fspec", "mspec", "tspec", "H", "W", "C", "tap_dtypes",
-        "use_fused", "staging", "multi_k", "mm_dtype",
+        "use_fused", "staging", "multi_k", "mm_dtype", "img_of",
     ),
 )
 def fit_rate_experts(
@@ -590,6 +590,7 @@ def fit_rate_experts(
     staging: str = "full",
     multi_k: int = 0,
     mm_dtype: str | None = None,
+    img_of: tuple | None = None,
 ) -> FitResult:
     """Train one network per rate point K — all E=len(Ks) experts batched in
     ONE jitted program on ONE chip.
@@ -611,6 +612,14 @@ def fit_rate_experts(
     gather).  Taps are per-expert (the MSB plane depends on K), each staged
     in its own minimal dtype.
 
+    Cross-image experts (VERDICT r3 #2): `img` may carry a leading image
+    axis (I, C, H, W) with `img_of` a static length-E tuple mapping each
+    expert to its image — experts are then (image, K) pairs of one shape,
+    so a dataset encode (the reference's 13-image run.sh outer loop,
+    run.sh:29-40) fills the expert batch across images instead of leaving
+    the MXU idle per tiny per-image job.  Label stores are per unique
+    image (one gather per image per step, shared by its K experts).
+
     Returns a FitResult whose leaves carry a leading E axis.
 
     `staging` is "full" (the (2D+1)^2 tap matrix per expert) or "banded"
@@ -623,6 +632,11 @@ def fit_rate_experts(
     if staging not in ("full", "banded"):
         raise ValueError(f"unknown staging mode {staging!r}")
     E = len(Ks)
+    imgs = img if img.ndim == 4 else img[None]
+    if img_of is None:
+        img_of = (0,) * E
+    assert len(img_of) == E and max(img_of) < imgs.shape[0]
+    used_imgs = sorted(set(img_of))
     dim_in = fspec.feature_dim(C)
     padded_in = pad_dim(dim_in)
     n = H * W
@@ -645,7 +659,7 @@ def fit_rate_experts(
     # per-expert staging: padded plane, scale, tap matrix / row taps
     planes, scales, lscales, taps_g, row_taps = [], [], [], [], []
     for e in range(E):
-        msb, _ = split_msb_lsb(img, jnp.asarray(Ks[e], jnp.int32))
+        msb, _ = split_msb_lsb(imgs[img_of[e]], jnp.asarray(Ks[e], jnp.int32))
         plane, scale = pad_plane(msb, fspec.D)
         planes.append(plane)
         scales.append(scale)
@@ -663,14 +677,18 @@ def fit_rate_experts(
     lscales = jnp.stack(lscales)
     kmasks = jnp.asarray([(1 << k) - 1 for k in Ks], jnp.uint16)  # (E,)
 
-    # shared label storage: raw image pixels; LSB_K = pixel & (2^K - 1)
-    raw_store = raw_g = None
+    # shared label storage: raw image pixels; LSB_K = pixel & (2^K - 1).
+    # One store per unique image, shared by every K expert of that image.
+    raw_stores = raw_gs = None
     if g == 1:
-        raw_store = build_granule_labels(img, H, W, LABEL_STORE_G)
+        raw_stores = {
+            i: build_granule_labels(imgs[i], H, W, LABEL_STORE_G)
+            for i in used_imgs
+        }
     elif staging == "banded":
-        raw_g = build_banded_labels(img, H, W, g)
+        raw_gs = {i: build_banded_labels(imgs[i], H, W, g) for i in used_imgs}
     else:
-        raw_g = build_granule_labels(img, H, W, g)
+        raw_gs = {i: build_granule_labels(imgs[i], H, W, g) for i in used_imgs}
 
     key, init_key = jax.random.split(key)
     # same init key per expert == per-job init (jobs share the seed)
@@ -741,11 +759,17 @@ def fit_rate_experts(
                 [jnp.broadcast_to(coords, (E, *coords.shape)), x], axis=-1
             )
         x = pad_features(x, padded_in)
-        if g == 1:  # one shared label gather either way
-            rows = gather_pixel_labels(raw_store, gi, C)
+        if g == 1:  # one label gather per unique image
+            rows_by_img = {
+                i: gather_pixel_labels(raw_stores[i], gi, C) for i in used_imgs
+            }
         else:
-            rows = raw_g[gi].reshape(bs, C)
-        y = (rows[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
+            rows_by_img = {i: raw_gs[i][gi].reshape(bs, C) for i in used_imgs}
+        if len(used_imgs) == 1:
+            rows_E = rows_by_img[used_imgs[0]][None, :, :]
+        else:
+            rows_E = jnp.stack([rows_by_img[i] for i in img_of])
+        y = (rows_E & kmasks[:, None, None]).astype(jnp.float32)
         y = y * lscales[:, None, None]
         return x, y, mask
 
@@ -779,9 +803,15 @@ def fit_rate_experts(
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             valid = (rows >= b * R) & (rows < H)
             m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
-            yb = jax.lax.dynamic_slice(img, (0, r0, 0), (C, R, W))
-            yr = jnp.transpose(yb.reshape(C, R * W), (1, 0))
-            y = (yr[None, :, :] & kmasks[:, None, None]).astype(jnp.float32)
+            yr_by_img = {}
+            for i in used_imgs:
+                yb = jax.lax.dynamic_slice(imgs[i], (0, r0, 0), (C, R, W))
+                yr_by_img[i] = jnp.transpose(yb.reshape(C, R * W), (1, 0))
+            if len(used_imgs) == 1:
+                yr_E = yr_by_img[used_imgs[0]][None, :, :]
+            else:
+                yr_E = jnp.stack([yr_by_img[i] for i in img_of])
+            y = (yr_E & kmasks[:, None, None]).astype(jnp.float32)
             y = y * lscales[:, None, None]
             sse = (((pred - y) ** 2) * m[None, :, None]).sum(axis=(1, 2))
             return acc + sse, None

@@ -305,6 +305,25 @@ def test_encode_rate_points_mesh_submesh():
         np.testing.assert_array_equal(rec >> cfg.K, img >> cfg.K)
 
 
+def test_encode_dataset_mesh_cross_image():
+    """encode_dataset(mesh=ep): (image, K) jobs of one shape fan out across
+    devices as experts — cross-image EP (VERDICT r3 #2 over the mesh)."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_dataset, encode_image
+    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.eval.metrics import psnr
+
+    tr = TrainSpec(epochs=2, batch_size=1024)
+    imgs = [synth_scene(48, 48, channels=2, seed=s) for s in (45, 46)]
+    jobs = [(im, CodecConfig(K=K, train=tr)) for im in imgs for K in (3, 5)]
+    results = encode_dataset(jobs, mesh=make_mesh(dp=1, ep=4))
+    for (im, cfg), (stream, _) in zip(jobs, results):
+        rec, dh = decode_stream(stream)
+        assert dh.header.K == cfg.K
+        np.testing.assert_array_equal(rec >> cfg.K, im >> cfg.K)
+        solo, _ = decode_stream(encode_image(im, cfg)[0])
+        assert abs(psnr(im, rec) - psnr(im, solo)) < 0.5
+
+
 def test_sample_granule_mode():
     """Granule sampling (g>1) must train to a similar optimum as g=1 and
     handle non-divisible pixel counts via masking."""

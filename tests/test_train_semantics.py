@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec, TrainSpec
 from lbdrn_msic_tpu.features.engine import (
@@ -168,6 +169,53 @@ def test_fused_multi_step_fit_matches_xla_fit():
                     jax.tree.leaves(r_xla.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("staging", ["full", "banded"])
+def test_cross_image_experts_match_per_image(staging):
+    """fit_rate_experts with img_of: each (image, K) expert's trajectory
+    matches the same expert trained in a single-image call — the expert
+    batch composition must not leak between experts (VERDICT r3 #2)."""
+    from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
+    from lbdrn_msic_tpu.train.loop import fit_rate_experts
+
+    imgs = jnp.stack([
+        jnp.asarray(synth_scene(64, 64, channels=2, seed=s)) for s in (9, 10)
+    ])
+    ts = TrainSpec(epochs=3, batch_size=1024, sample_granule=8)
+    key = jax.random.PRNGKey(1)
+    mk_dt = tap_matrix_dtype if staging == "full" else row_taps_dtype
+
+    def dts(pairs):
+        return tuple(
+            jnp.dtype(
+                mk_dt(int(imgs[i].max()) >> K, True)
+                if staging == "full"
+                else mk_dt(int(imgs[i].max()) >> K)
+            ).name
+            for i, K in pairs
+        )
+
+    pairs = [(0, 4), (0, 6), (1, 4), (1, 6)]
+    joint = fit_rate_experts(
+        imgs, (4, 6, 4, 6), key, FSPEC, MSPEC, ts, 64, 64, 2, dts(pairs),
+        staging=staging, img_of=(0, 0, 1, 1),
+    )
+    for i in (0, 1):
+        solo = fit_rate_experts(
+            imgs[i], (4, 6), key, FSPEC, MSPEC, ts, 64, 64, 2,
+            dts([(i, 4), (i, 6)]), staging=staging,
+        )
+        np.testing.assert_allclose(
+            np.asarray(joint.best_mse[2 * i : 2 * i + 2]),
+            np.asarray(solo.best_mse), rtol=1e-5,
+        )
+        for a, b in zip(jax.tree.leaves(joint.params),
+                        jax.tree.leaves(solo.params)):
+            np.testing.assert_allclose(
+                np.asarray(a)[2 * i : 2 * i + 2], np.asarray(b),
+                rtol=1e-4, atol=2e-5,
+            )
 
 
 def test_fused_expert_multi_step_fit_matches_per_step():
