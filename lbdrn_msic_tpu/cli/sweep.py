@@ -186,7 +186,8 @@ def _pipelined_sweep(args) -> int:
             # ACROSS images, so few-rate-point dataset encodes still fill
             # the expert axis (VERDICT r3 #2)
             results = encode_dataset(
-                jobs, header_version=args.header_version, mesh=mesh
+                jobs, header_version=args.header_version, mesh=mesh,
+                bucket=args.bucket,
             )
         else:
             print(f"[sweep] pipelined encode of {len(jobs)} jobs")

@@ -808,6 +808,7 @@ def encode_dataset(
     header_version: int = 1,
     mesh=None,
     max_experts: int = 16,
+    bucket: bool = False,
 ) -> List[tuple[bytes, EncodeStats]]:
     """Encode a dataset of (image, cfg) jobs with cross-image expert batching.
 
@@ -828,6 +829,14 @@ def encode_dataset(
     differs).  With ``key=None`` every expert uses the reference seed
     semantics exactly as `encode_image` does; an explicit key is folded
     per chunk for deterministic-but-distinct streams.
+
+    ``bucket=True`` groups by canonical bucket shape instead of exact
+    shape (`bucket_dims`): images of different sizes in one bucket are
+    `_pad_to_bucket`-padded and train together with per-expert pad masks
+    (`fit_rate_experts(hws=...)`) — the two GF-2 flagship shapes then
+    share one expert batch AND one compiled program.  Applies to the
+    default colors feature family on a single device (same gating as
+    `encode_image(bucket=True)`); the mesh path groups exact-shape.
     """
     njobs = []
     for img, cfg in jobs:
@@ -835,12 +844,30 @@ def encode_dataset(
             img = img[None]
         njobs.append((img, cfg))
 
-    # group job indices by (shape, config-modulo-K)
+    def bucket_ok(cfg) -> bool:
+        return (
+            bucket
+            and mesh is None
+            and cfg.features.use_colors
+            and not cfg.features.use_coords
+        )
+
+    def same_group(img, cfg, img0, cfg0) -> bool:
+        if not _experts_compatible([cfg0, cfg]):
+            return False
+        if img.shape == img0.shape:
+            return True
+        if not (bucket_ok(cfg) and img.shape[0] == img0.shape[0]):
+            return False
+        D = cfg.features.D
+        return bucket_dims(*img.shape[1:], D) == bucket_dims(*img0.shape[1:], D)
+
+    # group job indices by (shape-or-bucket, config-modulo-K)
     groups: List[List[int]] = []
     for j, (img, cfg) in enumerate(njobs):
         for grp in groups:
             img0, cfg0 = njobs[grp[0]]
-            if img.shape == img0.shape and _experts_compatible([cfg0, cfg]):
+            if same_group(img, cfg, img0, cfg0):
                 grp.append(j)
                 break
         else:
@@ -852,10 +879,13 @@ def encode_dataset(
             j = grp[0]
             img, cfg = njobs[j]
             jkey = jax.random.fold_in(key, j) if key is not None else None
-            results[j] = encode_image(img, cfg, jkey, header_version)
+            results[j] = encode_image(
+                img, cfg, jkey, header_version, bucket=bucket
+            )
             continue
         gres = _encode_job_group(
-            [njobs[j] for j in grp], key, header_version, mesh, max_experts
+            [njobs[j] for j in grp], key, header_version, mesh, max_experts,
+            bucket=bucket_ok(njobs[grp[0]][1]),
         )
         for j, r in zip(grp, gres):
             results[j] = r
@@ -869,9 +899,11 @@ def _encode_job_group(
     header_version: int,
     mesh,
     max_experts: int,
+    bucket: bool = False,
 ) -> List[tuple[bytes, EncodeStats]]:
-    """Expert-batch one compatible group of (image, cfg) jobs (one shape,
-    configs differing only in K).  See `encode_dataset`."""
+    """Expert-batch one compatible group of (image, cfg) jobs (one shape —
+    or one BUCKET shape when `bucket` — configs differing only in K).
+    See `encode_dataset`."""
     import concurrent.futures
 
     from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
@@ -891,11 +923,27 @@ def _encode_job_group(
     if mesh is not None and mesh.shape.get("ep", 1) > 1:
         return _encode_jobs_mesh(uniq, ijobs, key, header_version, mesh)
 
+    # one job per image (a single-rate-point dataset): the pipelined
+    # per-job path wins — each fit uses the fastest (cached-f32) staging
+    # and h2d/host codecs hide under the previous job's training, while
+    # expert batching would force the slower full/banded staging for no
+    # shared h2d.  Measured at 2048^2x4 K=5 x8 images: 0.63 s/job
+    # pipelined vs 1.03 s/job expert-batched.  Experts win only when
+    # several rate points share an image's upload and staging.
+    if len(ijobs) == len(uniq):
+        return encode_pipelined(gjobs, key, header_version, bucket=bucket)
+
     C, H, W = uniq[0].shape
     cfg0 = gjobs[0][1]
     fspec = cfg0.features
     g = cfg0.train.sample_granule
     maxes = [int(im.max()) for im in uniq]
+    # actual per-image dims (headers/stats/base layer use these); H/W
+    # become the bucket dims every device program compiles for
+    dims = [im.shape[1:] for im in uniq]
+    if bucket:
+        H, W = bucket_dims(H, W, fspec.D)
+    needs_hws = any(d != (H, W) for d in dims)
 
     tap_dts = [tap_matrix_dtype(maxes[i] >> c.K, fspec.relative) for i, c in ijobs]
     raw_dts = [row_taps_dtype(maxes[i] >> c.K) for i, c in ijobs]
@@ -903,27 +951,30 @@ def _encode_job_group(
         _staging_bytes(H, W, C, fspec, g, td, rd)
         for td, rd in zip(tap_dts, raw_dts)
     ]
-    # two chunks are in flight at once (next trains while previous
-    # finalizes), so each gets half the staging budget
-    budget = STAGE_BUDGET_BYTES // 2
-    # pick the staging mode that packs the most experts per chunk (the
-    # whole point is cross-job amortization); ties go to "full" (cheaper
-    # per step — docs/PERF.md staging table)
-    cap_full = min(max_experts, budget // max(max(s[0] for s in sizes), 1))
-    cap_banded = min(max_experts, budget // max(max(s[1] for s in sizes), 1))
-    if cap_full >= cap_banded and cap_full >= 1:
+    # full tap staging first, banded only when a single full expert blows
+    # the budget (same order as encode_rate_points): per-STEP cost scales
+    # ~linearly with E in both modes, so a bigger banded chunk buys no
+    # step-rate and pays banded's costlier per-sample gather — measured
+    # 2.9x slower at 2048^2 (scripts/scale_check.py --dataset)
+    budget = STAGE_BUDGET_BYTES
+    if max(s[0] for s in sizes) <= budget:
         staging, dtypes = "full", tap_dts
         per_expert = [s[0] for s in sizes]
-    elif cap_banded >= 1:
+    elif max(s[1] for s in sizes) <= budget:
         staging, dtypes = "banded", raw_dts
         per_expert = [s[1] for s in sizes]
     else:
-        return encode_pipelined(gjobs, key, header_version)
+        return encode_pipelined(gjobs, key, header_version, bucket=bucket)
+    # when the group needs several chunks, two are in flight at once (the
+    # next trains while the previous finalizes) — halve the budget so the
+    # pair stays inside the staging envelope
+    per_image_fixed = 4 * H * W * C  # uint16 image + label store
+    if sum(per_expert) + len(uniq) * per_image_fixed > budget:
+        budget //= 2
 
     # chunk: pack whole images (their experts stay adjacent, so repeated
     # sweeps produce few distinct (E, Ks, dtypes) program signatures);
     # an image whose own experts overflow splits by budget
-    per_image_fixed = 4 * H * W * C  # uint16 image + label store
     by_img: dict[int, List[int]] = {}
     for e, (i, _) in enumerate(ijobs):
         by_img.setdefault(i, []).append(e)
@@ -977,13 +1028,15 @@ def _encode_job_group(
             t_train = time.time() - t0
             for e, jidx in enumerate(chunk):
                 i, cfg = ijobs[jidx]
+                h_i, w_i = dims[i]  # headers carry the ACTUAL dims
                 flat = flatten_params(
                     unstack_params(flats, e), fspec.feature_dim(C)
                 )
                 nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
                 base = base_futs[e].result()
                 header = header_from_config(
-                    cfg, W, H, [len(nn)], [len(base)], version=header_version
+                    cfg, w_i, h_i, [len(nn)], [len(base)],
+                    version=header_version,
                 )
                 stream = encode_header(header) + nn + base
                 results[jidx] = (stream, EncodeStats(
@@ -994,7 +1047,7 @@ def _encode_job_group(
                         train_time=t_train / len(chunk), base_time=0.0,
                     )],
                     total_bytes=len(stream),
-                    n_subpixels=C * H * W,
+                    n_subpixels=C * h_i * w_i,
                     elapsed=time.time() - t0,
                 ))
 
@@ -1004,15 +1057,28 @@ def _encode_job_group(
             remap = {i: r for r, i in enumerate(c_imgs)}
             # h2d of this chunk's images overlaps the previous chunk's
             # training (async dispatch; DMA rides under compute)
-            dev_imgs = jnp.stack([put_image(uniq[i]) for i in c_imgs])
+            dev_imgs = jnp.stack([
+                put_image(
+                    _pad_to_bucket(uniq[i], fspec.D, H, W)
+                    if dims[i] != (H, W)
+                    else uniq[i]
+                )
+                for i in c_imgs
+            ])
             Ks = tuple(ijobs[j][1].K for j in chunk)
             img_of = tuple(remap[ijobs[j][0]] for j in chunk)
+            hws = (
+                jnp.asarray([dims[ijobs[j][0]] for j in chunk], jnp.int32)
+                if needs_hws
+                else None
+            )
             result = fit_rate_experts(
                 dev_imgs, Ks, tkey, fspec, cfg0.model, cfg0.train, H, W, C,
                 tuple(jnp.dtype(dtypes[j]).name for j in chunk),
                 use_fused=jax.default_backend() != "cpu",
                 staging=staging,
                 img_of=img_of,
+                hws=hws,
             )  # dispatched; returns before the TPU finishes
             base_futs = [
                 pool.submit(base_one, ijobs[j][0], ijobs[j][1].K)

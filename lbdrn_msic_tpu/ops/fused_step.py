@@ -690,9 +690,10 @@ def _kernel_experts(
     """Expert-batched kernel body: grid (E, n_tiles), t fastest.
 
     Same math as _kernel per expert; param/state/output refs carry a leading
-    singleton expert block dim, batch refs are indexed (e, t).  The VMEM
-    gradient accumulators are reused across experts (zeroed at each expert's
-    first tile, consumed by its Adam update at its last tile).
+    singleton expert block dim, batch refs (including the mask and the
+    scalar row, whose inv_scale is per expert) are indexed (e, t).  The
+    VMEM gradient accumulators are reused across experts (zeroed at each
+    expert's first tile, consumed by its Adam update at its last tile).
     """
     L = n_layers
     (scalars_ref, x_ref, y_ref, mask_ref) = refs[:4]
@@ -726,7 +727,7 @@ def _kernel_experts(
 
     x = x_ref[0]
     y = y_ref[0]
-    mask = mask_ref[...]  # (TILE, 1), shared across experts
+    mask = mask_ref[0]  # (TILE, 1), this expert's row of the (E, B) mask
 
     sse, dws, dbs = _fwd_bwd(
         x, y, mask,
@@ -740,10 +741,11 @@ def _kernel_experts(
 
     @pl.when(t == n_tiles - 1)
     def _update():
-        lr = scalars_ref[0, 0]
-        c1 = scalars_ref[0, 1]
-        c2 = scalars_ref[0, 2]
-        inv_scale = scalars_ref[0, 3]
+        e = pl.program_id(0)  # scalars stay whole in SMEM; row per expert
+        lr = scalars_ref[e, 0]
+        c1 = scalars_ref[e, 1]
+        c2 = scalars_ref[e, 2]
+        inv_scale = scalars_ref[e, 3]
         for l in range(L):
             for grad, theta, m, v, nt, nm, nv in (
                 (acc_dw[l][...] * inv_scale, w_refs[l], mw_refs[l], vw_refs[l],
@@ -778,7 +780,9 @@ def fused_expert_step(
 
     params/m/v leaves carry a leading expert axis (weights (E, in, out),
     biases (E, out)); x: (E, B, padded_in); y: (E, B, dim_out); mask: (B,)
-    shared.  Returns (params', m', v', loss (E,)).
+    shared or (E, B) per expert (mixed-shape expert batches mask each
+    expert's out-of-image pixels independently).  Returns
+    (params', m', v', loss (E,)).
     """
     L = mspec.num_layers + 1
     w0s = tuple(
@@ -792,11 +796,20 @@ def fused_expert_step(
     tstep = step.astype(jnp.float32)
     c1 = 1.0 / (1.0 - ADAM_B1**tstep)
     c2 = 1.0 / (1.0 - ADAM_B2**tstep)
-    cnt = jnp.maximum(mask.sum(), 1.0)
+    maskE = mask if mask.ndim == 2 else jnp.broadcast_to(mask, (E, B))
+    cnt = jnp.maximum(maskE.sum(axis=1), 1.0)  # (E,)
     inv_scale = 1.0 / (cnt * dim_out)
-    scalars = jnp.stack([lr.astype(jnp.float32), c1, c2, inv_scale]).reshape(1, 4)
+    scalars = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.stack([lr.astype(jnp.float32), c1, c2]), (E, 3)
+            ),
+            inv_scale[:, None],
+        ],
+        axis=1,
+    )  # (E, 4): lr/c1/c2 shared, inv_scale per expert
 
-    mask2 = mask.reshape(B, 1)
+    mask2 = maskE.reshape(E, B, 1)
     ws = list(params.weights)
     bs = [b.reshape(E, 1, -1) for b in params.biases]
     mws, mbs = list(m_state.weights), [b.reshape(E, 1, -1) for b in m_state.biases]
@@ -811,9 +824,10 @@ def fused_expert_step(
     )
 
     in_specs = (
-        [pl.BlockSpec((1, 4), lambda e, t: (0, 0), memory_space=pltpu.SMEM)]
+        [pl.BlockSpec((E, 4), lambda e, t: (0, 0), memory_space=pltpu.SMEM)]
         + [batch_tile(x.shape[-1]), batch_tile(y.shape[-1]),
-           pl.BlockSpec((TILE, 1), lambda e, t: (t, 0), memory_space=pltpu.VMEM)]
+           pl.BlockSpec((1, TILE, 1), lambda e, t: (e, t, 0),
+                        memory_space=pltpu.VMEM)]
         + [expert_full(a) for a in ws + bs + mws + vws + mbs + vbs]
     )
     out_shapes = (

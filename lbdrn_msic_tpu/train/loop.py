@@ -591,6 +591,7 @@ def fit_rate_experts(
     multi_k: int = 0,
     mm_dtype: str | None = None,
     img_of: tuple | None = None,
+    hws: jnp.ndarray | None = None,
 ) -> FitResult:
     """Train one network per rate point K — all E=len(Ks) experts batched in
     ONE jitted program on ONE chip.
@@ -619,6 +620,13 @@ def fit_rate_experts(
     run.sh:29-40) fills the expert batch across images instead of leaving
     the MXU idle per tiny per-image job.  Label stores are per unique
     image (one gather per image per step, shared by its K experts).
+
+    `hws` (traced (E, 2) int32): per-expert ACTUAL (height, width) when
+    the static H/W are shape-bucket dims and the stacked images are
+    bucket-padded (codec._pad_to_bucket) — each expert's out-of-image
+    pixels are masked out of its batches and eval independently (the
+    expert analogue of fit's `hw`), so images of DIFFERENT shapes in one
+    bucket train together in one compiled program.
 
     Returns a FitResult whose leaves carry a leading E axis.
 
@@ -704,7 +712,11 @@ def fit_rate_experts(
 
     # multi-step chunking (see fit_core: measured slower than per-step on
     # v5e at the bench shapes, so opt-in only); the chunk is capped so the
-    # staged (k, E, bs, padded_in) batch buffer stays under ~512 MB
+    # staged (k, E, bs, padded_in) batch buffer stays under ~512 MB.
+    # Per-expert masks (hws) keep the per-step path (the multi-step kernel
+    # shares one mask across experts).
+    if hws is not None:
+        multi_k = 0
     if use_fused and multi_k:
         from lbdrn_msic_tpu.ops.fused_step import pick_tile as _pt
 
@@ -729,7 +741,9 @@ def fit_rate_experts(
     fspec_nc = dataclasses.replace(fspec, use_coords=False)
 
     def make_batch(gidx):
-        """shared granule ids -> x (E, bs, padded_in), y (E, bs, C), mask (bs,)."""
+        """shared granule ids -> x (E, bs, padded_in), y (E, bs, C),
+        mask (bs,) shared — or (E, bs) per expert when `hws` masks each
+        expert's bucket pad independently."""
         gvalid = gidx < n_g
         gi = jnp.clip(gidx, 0, n_g - 1)
         if staging == "banded":
@@ -750,6 +764,11 @@ def fit_rate_experts(
                 (taps_g[e][gi].astype(jnp.float32) * scales[e]).reshape(bs, n_colors)
                 for e in range(E)
             ]
+        if hws is not None:
+            ii = ii2d.reshape(-1)[None, :]  # (1, bs) bucket-grid rows
+            jj = jj2d.reshape(-1)[None, :]
+            in_img = (ii < hws[:, 0:1]) & (jj < hws[:, 1:2])  # (E, bs)
+            mask = mask[None, :] * in_img.astype(jnp.float32)
         x = jnp.stack(xs)  # (E, bs, n_colors)
         if fspec.use_coords:
             coords = _coord_features(
@@ -803,6 +822,16 @@ def fit_rate_experts(
             rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
             valid = (rows >= b * R) & (rows < H)
             m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
+            if hws is not None:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+                rows2 = jnp.broadcast_to(rows, (R, W))
+                mE = (
+                    m[None, :]
+                    & (rows2.reshape(-1)[None, :] < hws[:, 0:1])
+                    & (cols.reshape(-1)[None, :] < hws[:, 1:2])
+                )  # (E, R*W)
+            else:
+                mE = m[None, :]
             yr_by_img = {}
             for i in used_imgs:
                 yb = jax.lax.dynamic_slice(imgs[i], (0, r0, 0), (C, R, W))
@@ -813,10 +842,13 @@ def fit_rate_experts(
                 yr_E = jnp.stack([yr_by_img[i] for i in img_of])
             y = (yr_E & kmasks[:, None, None]).astype(jnp.float32)
             y = y * lscales[:, None, None]
-            sse = (((pred - y) ** 2) * m[None, :, None]).sum(axis=(1, 2))
+            sse = (((pred - y) ** 2) * mE[:, :, None]).sum(axis=(1, 2))
             return acc + sse, None
 
         sse, _ = jax.lax.scan(body, jnp.zeros((E,), jnp.float32), jnp.arange(n_blocks))
+        if hws is not None:
+            n_eff = (hws[:, 0] * hws[:, 1]).astype(jnp.float32)  # (E,)
+            return sse / (n_eff * C)
         return sse / (n * C)
 
     def train_step(carry, gidx):
@@ -835,8 +867,9 @@ def fit_rate_experts(
 
         def loss_fn(p):
             pred = forward_experts(p, x, mspec)
-            se = ((pred - y) ** 2 * mask[None, :, None]).sum(axis=(1, 2))
-            loss_e = se / (jnp.maximum(mask.sum(), 1.0) * C)
+            mE = mask if mask.ndim == 2 else mask[None, :]  # (E|1, bs)
+            se = ((pred - y) ** 2 * mE[:, :, None]).sum(axis=(1, 2))
+            loss_e = se / (jnp.maximum(mE.sum(axis=-1), 1.0) * C)
             # experts are independent: d(sum)/d(p_e) == d(loss_e)/d(p_e)
             return loss_e.sum(), loss_e
 

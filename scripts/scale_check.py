@@ -31,12 +31,22 @@ def main() -> int:
         help="run the real Gaofen scene shapes instead of --sizes/--channels: "
              "GF-6 WFI 6000x6000x8 and GF-2 7815x7605x4 (BASELINE.md)",
     )
+    p.add_argument(
+        "--dataset", type=int, metavar="N", default=0,
+        help="instead of per-image runs: encode an N-image x len(--K)-point "
+             "dataset three ways (per-job pipeline / per-image experts / "
+             "cross-image experts) and report aggregate Mpx/s "
+             "(VERDICT r3 #2 target)",
+    )
     args = p.parse_args()
 
     from lbdrn_msic_tpu.codec import decode_stream, encode_image, pick_staging
     from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
     from lbdrn_msic_tpu.eval.metrics import psnr
     from lbdrn_msic_tpu.utils.synth import synth_scene
+
+    if args.dataset:
+        return _dataset_check(args)
 
     if args.flagship:
         shapes = [(6000, 6000, 8), (7815, 7605, 4)]
@@ -72,6 +82,72 @@ def main() -> int:
                 flush=True,
             )
             assert ok
+    return 0
+
+
+def _dataset_check(args) -> int:
+    """Aggregate throughput of an N-image x R-rate-point dataset encode,
+    comparing the three sweep modes (reference workload: run.sh:29-40)."""
+    import time
+
+    import numpy as np
+
+    from lbdrn_msic_tpu.codec import (
+        decode_stream,
+        encode_dataset,
+        encode_pipelined,
+        encode_rate_points,
+    )
+    from lbdrn_msic_tpu.core.config import CodecConfig, TrainSpec
+    from lbdrn_msic_tpu.eval.metrics import psnr
+    from lbdrn_msic_tpu.utils.synth import synth_scene
+
+    h = w = args.sizes[0]
+    c = args.channels[0]
+    tspec = TrainSpec(epochs=args.epochs, sample_granule=args.granule)
+    imgs = [
+        synth_scene(h, w, channels=c, effective_bits=12, seed=100 + i)
+        for i in range(args.dataset)
+    ]
+    cfgs = [CodecConfig(K=K, train=tspec) for K in args.K]
+    jobs = [(im, cfg) for im in imgs for cfg in cfgs]
+    total_mpx = len(jobs) * h * w / 1e6
+
+    def run(label, fn):
+        fn()  # warm-up: compiles
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            results = fn()
+            best = min(best, time.time() - t0)
+        print(
+            f"dataset {args.dataset}x{len(cfgs)} @ {h}x{w}x{c} [{label}]: "
+            f"{best:.2f}s = {total_mpx / best:.2f} Mpx/s aggregate "
+            f"({best / len(jobs):.2f} s/job)",
+            flush=True,
+        )
+        return results, best
+
+    res_x, t_x = run("cross-image experts", lambda: encode_dataset(jobs))
+    _, t_p = run("per-job pipeline", lambda: encode_pipelined(jobs))
+
+    def per_image():
+        out = []
+        for im in imgs:
+            out += encode_rate_points(im, cfgs)
+        return out
+
+    _, t_i = run("per-image experts", lambda: per_image())
+
+    for (im, cfg), (stream, _) in zip(jobs, res_x):
+        rec, _ = decode_stream(stream)
+        assert np.array_equal(rec >> cfg.K, im >> cfg.K)
+        solo_p = psnr(im, rec)
+        assert solo_p > 20, solo_p
+    print(
+        f"speedup vs pipeline {t_p / t_x:.2f}x, vs per-image experts "
+        f"{t_i / t_x:.2f}x; streams verified", flush=True,
+    )
     return 0
 
 

@@ -142,6 +142,50 @@ def test_two_shapes_share_one_compiled_fit():
         assert psnr(img, rec) > 45
 
 
+def test_bucketed_dataset_mixed_shapes_one_batch():
+    """encode_dataset(bucket=True): images of DIFFERENT shapes sharing one
+    bucket train as one cross-image expert batch (per-expert pad masks,
+    fit_rate_experts hws) and each job matches its per-job BUCKETED
+    encode_image exactly on CPU."""
+    from lbdrn_msic_tpu.codec import encode_dataset
+
+    tr = TrainSpec(epochs=3, batch_size=1024)
+    a = synth_scene(100, 90, channels=2, effective_bits=12, seed=21)
+    b = synth_scene(120, 128, channels=2, effective_bits=12, seed=22)
+    jobs = [(im, CodecConfig(K=K, train=tr)) for im in (a, b) for K in (3, 5)]
+
+    with CompileLog() as cl:
+        results = encode_dataset(jobs, bucket=True)
+    # one bucket group, one chunk -> ONE expert-fit compile for two shapes
+    assert cl.counts().get("fit_rate_experts", 0) == 1, cl.counts()
+    for (im, cfg), (stream, stats) in zip(jobs, results):
+        rec, dh = decode_stream(stream)
+        assert rec.shape == im.shape
+        assert (dh.header.height, dh.header.width) == im.shape[1:]
+        np.testing.assert_array_equal(rec >> cfg.K, im >> cfg.K)
+        solo, solo_stats = encode_image(im, cfg, bucket=True)
+        rec_solo, _ = decode_stream(solo)
+        assert abs(psnr(im, rec) - psnr(im, rec_solo)) < 0.3
+        assert abs(
+            stats.tiles[0].best_mse - solo_stats.tiles[0].best_mse
+        ) < 2e-3
+
+
+def test_bucketed_dataset_unbucketed_grouping_unchanged():
+    """bucket=False keeps exact-shape grouping: different shapes never
+    share an expert batch."""
+    from lbdrn_msic_tpu.codec import encode_dataset
+
+    tr = TrainSpec(epochs=2, batch_size=1024)
+    a = synth_scene(100, 90, channels=2, seed=23)
+    b = synth_scene(120, 128, channels=2, seed=24)
+    jobs = [(a, CodecConfig(K=4, train=tr)), (b, CodecConfig(K=4, train=tr))]
+    results = encode_dataset(jobs)  # two singleton groups -> encode_image
+    for (im, cfg), (stream, _) in zip(jobs, results):
+        solo, _ = encode_image(im, cfg)
+        assert stream == solo
+
+
 def test_bucketed_encode_rd_close_to_exact():
     """encode_image(bucket=True) lands ~the same RD point as exact."""
     img = synth_scene(90, 100, channels=2, seed=13)

@@ -336,17 +336,17 @@ def test_encode_dataset_chunking(monkeypatch):
     tr = TrainSpec(epochs=2, batch_size=1024)
     imgs = [
         synth_scene(48, 40, channels=2, effective_bits=12, seed=s)
-        for s in (80, 81, 82, 83)
+        for s in (80, 81)
     ]
-    jobs = [(im, CodecConfig(K=4, train=tr)) for im in imgs]
+    jobs = [
+        (im, CodecConfig(K=K, train=tr)) for im in imgs for K in (3, 4)
+    ]
     full_all = encode_dataset(jobs)
     side = 2 * CodecConfig().features.D + 1
     one_expert_full = 48 * 40 * 2 * side * side * 2  # int16 taps
-    # room for ~2 experts per chunk (budget is halved for double-buffering)
-    monkeypatch.setattr(
-        codec_mod, "STAGE_BUDGET_BYTES",
-        (2 * one_expert_full + 5 * 48 * 40 * 2 * 4) * 2,
-    )
+    # group total exceeds the budget -> it halves (double-buffered chunks)
+    # and splits the group into per-expert chunks
+    monkeypatch.setattr(codec_mod, "STAGE_BUDGET_BYTES", 3 * one_expert_full)
     chunked = encode_dataset(jobs)
     for (s_full, _), (s_chunk, _), (im, cfg) in zip(full_all, chunked, jobs):
         rec, _ = decode_stream(s_chunk)

@@ -326,3 +326,53 @@ def test_fused_expert_step_matches_per_expert_reference():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=4e-6
             )
+
+
+def test_fused_expert_step_per_expert_masks():
+    """Per-expert masks (the mixed-shape bucket path): each expert's step
+    must equal the oracle run with ITS OWN mask — and differ from a
+    uniformly-masked run."""
+    from lbdrn_msic_tpu.models.siren import stack_params, unstack_params
+    from lbdrn_msic_tpu.ops.fused_step import fused_expert_step
+
+    mspec = ModelSpec(base_channel=32, num_layers=2)
+    dim_in, dim_out, B, E = 36, 3, TILE, 3
+    ps, xs, ys, masks = [], [], [], []
+    for e in range(E):
+        p, zeros, x, y, _ = _setup(mspec, dim_in, dim_out, B, seed=20 + e)
+        ps.append(p); xs.append(x); ys.append(y)
+        masks.append(
+            jnp.ones((B,), jnp.float32).at[B - 16 * (e + 1):].set(0.0)
+        )
+    paramsE = stack_params(ps)
+    zerosE = jax.tree.map(jnp.zeros_like, paramsE)
+    xE, yE, maskE = jnp.stack(xs), jnp.stack(ys), jnp.stack(masks)
+    lr, step = jnp.float32(1e-3), jnp.int32(1)
+
+    with pltpu.force_tpu_interpret_mode():
+        fp, _, _, floss = fused_expert_step(
+            paramsE, zerosE, zerosE, xE, yE, maskE, lr, step, mspec, dim_out,
+            tile=TILE // 2,
+        )
+    for e in range(E):
+        z1 = jax.tree.map(jnp.zeros_like, ps[e])
+        rp, _, _, rloss = reference_train_step(
+            ps[e], z1, z1, xs[e], ys[e], masks[e], lr, step, mspec, dim_out,
+            match_kernel=True,
+        )
+        np.testing.assert_allclose(float(floss[e]), float(rloss), rtol=1e-5)
+        pe = unstack_params(fp, e)
+        for a, b in zip(
+            list(pe.weights) + list(pe.biases),
+            list(rp.weights) + list(rp.biases),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=4e-6
+            )
+        # a WRONG (shared) mask would change the loss: guard the guard
+        _, _, _, wloss = reference_train_step(
+            ps[e], z1, z1, xs[e], ys[e], masks[0], lr, step, mspec, dim_out,
+            match_kernel=True,
+        )
+        if e > 0:
+            assert abs(float(wloss) - float(rloss)) > 1e-7
