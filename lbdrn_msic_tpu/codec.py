@@ -71,6 +71,10 @@ class EncodeStats:
 class DecodeStats:
     elapsed: float
     header: StreamHeader
+    # host-side phase accounting: base_decode (host base-layer codec),
+    # dispatch (weight decode + device residual dispatch), fetch_assemble
+    # (blocking on d2h bitplanes + host bit-unpack/add)
+    phases: Optional[dict] = None
 
 
 STAGE_BUDGET_BYTES = 8 << 30  # tap staging budget per tile
@@ -1113,6 +1117,9 @@ def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
     # 16-bit image — see decode/reconstruct.py) overlaps later device work
     from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed
 
+    from lbdrn_msic_tpu.utils.profiling import PhaseTimer
+
+    pt = PhaseTimer()
     sp = mesh.shape.get("dp", 1) if mesh is not None else 1
     pending = []
     for t in range(header.n_tiles):
@@ -1122,23 +1129,28 @@ def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
         ptr += header.base_bytes[t]
         # keep the stored dtype (uint8 when the MSB fits): halves the h2d
         # upload; pad_plane/the host add widen on their side
-        base = decode_base(base_stream, header.base_codec)
+        with pt.phase("base_decode"):
+            base = decode_base(base_stream, header.base_codec)
         C, th, tw = base.shape
-        flat = decompress_weights(nn, header.weight_codec)
-        params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
-        if sp > 1 and th % sp == 0 and th // sp > fspec.D:
-            from lbdrn_msic_tpu.parallel.halo import reconstruct_sp
+        with pt.phase("dispatch"):
+            flat = decompress_weights(nn, header.weight_codec)
+            params = unflatten_params(flat, fspec.feature_dim(C), C, mspec)
+            if sp > 1 and th % sp == 0 and th // sp > fspec.D:
+                from lbdrn_msic_tpu.parallel.halo import reconstruct_sp
 
-            pending.append(
-                functools.partial(
-                    reconstruct_sp, mesh, jnp.asarray(base), params,
-                    fspec, mspec, header.K,
+                pending.append(
+                    functools.partial(
+                        reconstruct_sp, mesh, jnp.asarray(base), params,
+                        fspec, mspec, header.K,
+                    )
                 )
-            )
-        else:
-            pending.append(
-                dispatch_streamed(base, params, fspec, mspec, header.K)
-            )
-    tiles = [finish() for finish in pending]
-    img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
-    return img, DecodeStats(elapsed=time.time() - t0, header=header)
+            else:
+                pending.append(
+                    dispatch_streamed(base, params, fspec, mspec, header.K)
+                )
+    with pt.phase("fetch_assemble"):
+        tiles = [finish() for finish in pending]
+        img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
+    return img, DecodeStats(
+        elapsed=time.time() - t0, header=header, phases=dict(pt.phases)
+    )
