@@ -1127,6 +1127,32 @@ def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
         ptr += header.nn_bytes[t]
         base_stream = data[ptr : ptr + header.base_bytes[t]]
         ptr += header.base_bytes[t]
+        # row-chunked LLPC v2 base streams take the fully-pipelined path:
+        # host chunk decode, band h2d, device compute and bitplane d2h all
+        # overlap (decode/reconstruct.py::dispatch_streamed_lpc)
+        if header.base_codec == "lpc" and sp == 1 and not fspec.use_coords:
+            from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed_lpc
+
+            with pt.phase("dispatch_pipelined"):
+                flat = decompress_weights(nn, header.weight_codec)
+                got = None
+                try:
+                    from lbdrn_msic_tpu.codecs import lpc as _lpc
+
+                    info = _lpc.chunk_info(base_stream)
+                except RuntimeError:
+                    info = None  # native lib unavailable -> plain path
+                if info is not None:
+                    C = info[0]
+                    params = unflatten_params(
+                        flat, fspec.feature_dim(C), C, mspec
+                    )
+                    got = dispatch_streamed_lpc(
+                        base_stream, params, fspec, mspec, header.K
+                    )
+            if got is not None:
+                pending.append(got[1])
+                continue
         # keep the stored dtype (uint8 when the MSB fits): halves the h2d
         # upload; pad_plane/the host add widen on their side
         with pt.phase("base_decode"):

@@ -58,7 +58,10 @@ def load():
         # force one rebuild (BEFORE declaring any argtypes on the handle),
         # then degrade to fpz/LPC-only rather than break every native
         # caller (io/tiff.py guards with getattr)
-        if not hasattr(lib, "lbdrn_lzw_decode") and _build():
+        if (
+            not hasattr(lib, "lbdrn_lzw_decode")
+            or not hasattr(lib, "lpc_compress2")
+        ) and _build():
             try:
                 lib = ctypes.CDLL(_SO)
             except OSError:
@@ -90,6 +93,23 @@ def load():
         lib.lpc_decompress.argtypes = [
             u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
         ]
+        # v2 (row-chunked) entry points — stale .so guard above rebuilt if
+        # needed, but degrade gracefully if the rebuild failed
+        if hasattr(lib, "lpc_compress2"):
+            lib.lpc_compress2.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.lpc_peek2.argtypes = [
+                u8p, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.lpc_decompress_chunk.argtypes = [
+                u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
+            ]
         for name in ("lbdrn_lzw_decode", "lbdrn_packbits_decode"):
             fn = getattr(lib, name, None)
             if fn is not None:

@@ -118,8 +118,17 @@ def _decode_jp2(data: bytes) -> np.ndarray:
     return out.astype(want, copy=False)
 
 
+LPC_CHUNK_ROWS = 512  # v2 row-chunk size (multiple of the 256-row device block)
+LPC_CHUNK_MIN_H = 1536  # below this the v1 single-stream format wins
+
+
 def encode_base(msb: np.ndarray, codec: str = "jp2") -> bytes:
-    """msb: (C, H, W) uint8/uint16 base plane -> lossless codestream."""
+    """msb: (C, H, W) uint8/uint16 base plane -> lossless codestream.
+
+    Tall LPC planes use the v2 row-chunked wire format (codecs/lpc.py):
+    +~0.1-0.3 % bytes for C x n_chunks decode parallelism AND incremental
+    chunk decoding, which the streaming decoder overlaps with device
+    residual compute + the d2h link (docs/PERF.md "Decode budget")."""
     if msb.ndim != 3:
         raise ValueError(f"expected CHW, got {msb.shape}")
     if codec == "jp2":
@@ -127,7 +136,8 @@ def encode_base(msb: np.ndarray, codec: str = "jp2") -> bytes:
     if codec == "lpc":
         from lbdrn_msic_tpu.codecs import lpc
 
-        return lpc.encode(msb)
+        chunk = LPC_CHUNK_ROWS if msb.shape[1] >= LPC_CHUNK_MIN_H else 0
+        return lpc.encode(msb, chunk_rows=chunk)
     raise ValueError(f"unknown base codec {codec!r}")
 
 

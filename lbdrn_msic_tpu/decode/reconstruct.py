@@ -275,6 +275,14 @@ def dispatch_streamed(
             )
             pend.append((r0, [planes[j] for j in range(K)]))
 
+    return _make_finish(base, pend, band_rows, K)
+
+
+def _make_finish(base: np.ndarray, pend, band_rows: int, K: int):
+    """Zero-arg closure fetching dispatched residual bands and assembling
+    the final uint16 image on host (shared by the decode entry points)."""
+    C, H, W = base.shape
+
     def finish() -> np.ndarray:
         import concurrent.futures
 
@@ -299,6 +307,74 @@ def dispatch_streamed(
         return out
 
     return finish
+
+
+def dispatch_streamed_lpc(
+    stream: bytes,
+    params: SirenParams,
+    fspec: FeatureSpec,
+    mspec: ModelSpec,
+    K: int,
+):
+    """Streaming decode straight from a row-chunked LLPC v2 base stream:
+    host chunk decoding, band h2d upload, device residual compute and
+    bitplane d2h ALL overlap (docs/PERF.md "Decode budget" — the serial
+    host base decode was 7.6-9.3 s of the flagship's ~24 s).
+
+    The v2 header carries the plane max, so the feature scale
+    (1/max — reference LBDRNdataset.py:119 semantics) is known before
+    any chunk is decoded; device band b dispatches as soon as chunks
+    b and b+1 (its D-row bottom halo) are decoded, while later chunks
+    still decode on the other core.  Colors-only feature sets; returns
+    (base, finish()) like `dispatch_streamed`, or None when the stream
+    is not v2-chunked (caller falls back)."""
+    import concurrent.futures
+    import os
+
+    from lbdrn_msic_tpu.codecs import lpc
+
+    info = lpc.chunk_info(stream)
+    if info is None:
+        return None
+    C, H, W, itemsize, cr, nk, mx = info
+    if nk < 2 or H < cr or fspec.use_coords:
+        return None
+    dtype = np.uint8 if itemsize == 1 else np.uint16
+    base = np.empty((C, H, W), dtype)
+    scale = np.float32(1.0) / np.float32(max(mx, 1))
+
+    def dec_one(ci, k):
+        r0 = k * cr
+        rows = min(cr, H - r0)
+        base[ci, r0 : r0 + rows] = lpc.decode_chunk(
+            stream, ci, k, rows, W
+        ).astype(dtype)
+
+    # ctypes releases the GIL: chunk decodes saturate the host cores while
+    # the main thread builds halos and dispatches bands
+    dec_pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(2, os.cpu_count() or 2)
+    )
+    futs = [
+        [dec_pool.submit(dec_one, ci, k) for ci in range(C)]
+        for k in range(nk)
+    ]
+    pend = []
+    for k in range(nk):
+        for f in futs[k]:
+            f.result()
+        if k + 1 < nk:  # band k's bottom halo rows live in chunk k + 1
+            for f in futs[k + 1]:
+                f.result()
+        r0 = min(k * cr, H - cr)  # uniform bands: ONE compiled shape
+        band = _band_halo(base, r0, cr, fspec.D)
+        planes = _residual_band_planes_local(
+            jnp.asarray(band), params, jnp.float32(scale),
+            fspec, mspec, jnp.int32(K), W, cr,
+        )
+        pend.append((r0, [planes[j] for j in range(K)]))
+    dec_pool.shutdown()
+    return base, _make_finish(base, pend, cr, K)
 
 
 def reconstruct_streamed(
