@@ -59,26 +59,40 @@ def main(argv=None) -> int:
         rec, dstats = decode_stream(stream, mesh=mesh)
     if args.compile_log:
         print(cl.report(), file=sys.stderr)
+    write_decode_outputs(
+        log, args.bin_path, rec, dstats, t0,
+        org_path=args.org_path, keep_recon=args.keep_recon,
+    )
+    log.close()
+    return 0
+
+
+def write_decode_outputs(
+    log, bin_path, rec, dstats, t_start, org_path=None, keep_recon=False
+):
+    """Reconstruction tif + scrape-compatible decode.txt metric lines
+    (reference decode.py:203-224 format) — shared by the decode CLI and
+    the sweep's pipelined decode path."""
+    dirname = os.path.dirname(bin_path) or "."
+    stem = os.path.splitext(os.path.basename(bin_path))[0]
     recon_path = os.path.join(dirname, f"{stem}_recon.tif")
     write_tiff(recon_path, rec)
     log.info(f"Recon: {recon_path}")
-    log.info(f"Time elapsed: {time.time() - t0}")
+    log.info(f"Time elapsed: {time.time() - t_start}")
 
-    if args.org_path is not None:
-        org = read_tiff(args.org_path)
+    if org_path is not None:
+        org = read_tiff(org_path)
         mse = float(np.mean((org.astype(np.float32) - rec.astype(np.float32)) ** 2))
         log.info(f"MSE: {mse}")
         psnr = float(10 * np.log10(PSNR_PEAK**2 / mse)) if mse > 0 else float("inf")
         log.info(f"PSNR: {psnr}")
-        n_bytes = os.path.getsize(args.bin_path)
+        n_bytes = os.path.getsize(bin_path)
         n_sub = int(np.prod(org.shape))
         log.info(f"Total size: {n_bytes} bytes, bpsp={n_bytes * 8 / n_sub}")
         log.event(mse=mse, psnr=psnr, bytes=n_bytes, bpsp=n_bytes * 8 / n_sub,
                   elapsed=dstats.elapsed)
-        if not args.keep_recon:
+        if not keep_recon:
             os.remove(recon_path)
-    log.close()
-    return 0
 
 
 if __name__ == "__main__":

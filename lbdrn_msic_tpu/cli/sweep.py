@@ -200,6 +200,13 @@ def _pipelined_sweep(args) -> int:
             )
             log.close()
 
+    # decode half, cross-stream pipelined: stream i+1's host base/weight
+    # decode + device dispatch overlap stream i's bitplane d2h
+    # (codec.decode_pipelined; bit-identical to per-stream decoding)
+    from lbdrn_msic_tpu.cli.decode import write_decode_outputs
+    from lbdrn_msic_tpu.codec import decode_pipelined_iter
+
+    dec_meta = []
     for path in my_paths:
         stem = os.path.splitext(os.path.basename(path))[0]
         for K in range(args.k_min, args.k_max + 1):
@@ -207,8 +214,32 @@ def _pipelined_sweep(args) -> int:
                 continue
             cfg = dataclasses.replace(base_cfg, K=K)
             run_dir = os.path.join(args.output_dir, cfg.run_name(stem))
-            print(f"[sweep] decode {stem} K={K}")
-            decode_cli.main(["-i", os.path.join(run_dir, f"{stem}.bin"), "-org", path])
+            if run_is_complete(run_dir, "decode.txt", "bpsp"):
+                continue
+            dec_meta.append(
+                (os.path.join(run_dir, f"{stem}.bin"), path, run_dir)
+            )
+    if dec_meta:
+        t0 = time.time()
+
+        def read_streams():  # lazy: at most two streams in memory
+            for bin_path, _, _ in dec_meta:
+                print(f"[sweep] decode {os.path.basename(bin_path)}")
+                with open(bin_path, "rb") as f:
+                    yield f.read()
+
+        for (bin_path, path, run_dir), (rec, dstats) in zip(
+            dec_meta, decode_pipelined_iter(read_streams())
+        ):
+            log = RunLogger(run_dir, "decode.txt", to_stdout=False)
+            log.info(f"Binstream: {bin_path}")
+            write_decode_outputs(
+                log, bin_path, rec, dstats,
+                time.time() - dstats.elapsed, org_path=path,
+            )
+            log.close()
+        print(f"[sweep] decoded {len(dec_meta)} streams in "
+              f"{time.time() - t0:.2f}s")
     return 0
 
 

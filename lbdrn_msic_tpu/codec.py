@@ -1098,15 +1098,12 @@ def _encode_job_group(
     return results  # type: ignore[return-value]
 
 
-def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
-    """bitstream -> ((C, H, W) uint16 image, stats).
-
-    `mesh`: optional jax.sharding.Mesh — a "dp" axis > 1 reconstructs each
-    tile row-sharded over the devices with a ppermute halo exchange
-    (parallel/halo.py), bit-identical to the single-device decode.  Tiles
-    whose height does not divide over the axis fall back per-tile.
-    """
-    t0 = time.time()
+def _dispatch_decode(data: bytes, mesh, pt):
+    """The host-heavy half of decode_stream: header parse, per-tile base
+    decode + weight decode + device residual dispatch.  Returns
+    (header, finishes) where each finish() fetches/assembles one tile —
+    split out so `decode_pipelined` can overlap stream i+1's dispatch
+    with stream i's d2h fetch."""
     header = decode_header(data)
     ptr = header_size(data)
     fspec = header.feature_spec()
@@ -1116,10 +1113,6 @@ def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
     # replaying t, and each tile's row-band d2h (K bits/subpixel, not the
     # 16-bit image — see decode/reconstruct.py) overlaps later device work
     from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed
-
-    from lbdrn_msic_tpu.utils.profiling import PhaseTimer
-
-    pt = PhaseTimer()
     sp = mesh.shape.get("dp", 1) if mesh is not None else 1
     pending = []
     for t in range(header.n_tiles):
@@ -1174,9 +1167,68 @@ def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
                 pending.append(
                     dispatch_streamed(base, params, fspec, mspec, header.K)
                 )
+    return header, pending
+
+
+def _finalize_decode(header, pending, pt) -> np.ndarray:
     with pt.phase("fetch_assemble"):
         tiles = [finish() for finish in pending]
-        img = merge_tiles(tiles, header.height, header.width, header.split_ratio)
+        return merge_tiles(
+            tiles, header.height, header.width, header.split_ratio
+        )
+
+
+def decode_stream(data: bytes, mesh=None) -> tuple[np.ndarray, DecodeStats]:
+    """bitstream -> ((C, H, W) uint16 image, stats).
+
+    `mesh`: optional jax.sharding.Mesh — a "dp" axis > 1 reconstructs each
+    tile row-sharded over the devices with a ppermute halo exchange
+    (parallel/halo.py), bit-identical to the single-device decode.  Tiles
+    whose height does not divide over the axis fall back per-tile.
+    """
+    from lbdrn_msic_tpu.utils.profiling import PhaseTimer
+
+    t0 = time.time()
+    pt = PhaseTimer()
+    header, pending = _dispatch_decode(data, mesh, pt)
+    img = _finalize_decode(header, pending, pt)
     return img, DecodeStats(
         elapsed=time.time() - t0, header=header, phases=dict(pt.phases)
     )
+
+
+def decode_pipelined_iter(streams, mesh=None):
+    """Decode an iterable of bitstreams with cross-stream pipelining:
+    stream i+1's host-side base/weight decode and device dispatch run
+    while stream i's residual bitplanes cross the d2h link — the decode
+    half of the reference's run.sh sweep (run.sh:37-39) at overlapped
+    throughput instead of paying host decode + link latency per stream.
+    Yields (image, stats) in order, holding at most two streams' state in
+    memory (a flagship dataset sweep decodes hundreds of 0.5 GB images —
+    a list API cannot).  Bit-identical to per-stream `decode_stream`."""
+    import itertools
+
+    from lbdrn_msic_tpu.utils.profiling import PhaseTimer
+
+    pending = None  # (t0, pt, header, finishes)
+    for data in itertools.chain(streams, [None]):
+        nxt = None
+        if data is not None:
+            t0 = time.time()
+            pt = PhaseTimer()
+            header, fins = _dispatch_decode(data, mesh, pt)
+            nxt = (t0, pt, header, fins)
+        if pending is not None:
+            t0p, ptp, hp, fp = pending
+            img = _finalize_decode(hp, fp, ptp)
+            yield img, DecodeStats(
+                elapsed=time.time() - t0p, header=hp, phases=dict(ptp.phases)
+            )
+        pending = nxt
+
+
+def decode_pipelined(
+    streams: List[bytes], mesh=None
+) -> List[tuple[np.ndarray, DecodeStats]]:
+    """List form of `decode_pipelined_iter` (small datasets / tests)."""
+    return list(decode_pipelined_iter(streams, mesh))

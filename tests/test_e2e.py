@@ -270,6 +270,25 @@ def test_encode_rate_points_fallback_mixed_cfgs():
         assert stream == solo  # pipelined fallback is byte-identical
 
 
+def test_decode_pipelined_matches_per_stream():
+    """Cross-stream pipelined decode == per-stream decode, bit for bit,
+    results in order (the sweep's decode half)."""
+    from lbdrn_msic_tpu.codec import decode_pipelined
+
+    tr = TrainSpec(epochs=2, batch_size=1024)
+    imgs = [synth_scene(48, 40, channels=2, seed=s) for s in (90, 91, 92)]
+    streams = [encode_image(im, CodecConfig(K=K, train=tr))[0]
+               for im, K in zip(imgs, (3, 5, 4))]
+    piped = decode_pipelined(streams)
+    assert len(piped) == 3
+    for (im, K), stream, (rec, dst) in zip(
+        zip(imgs, (3, 5, 4)), streams, piped
+    ):
+        solo, _ = decode_stream(stream)
+        np.testing.assert_array_equal(rec, solo)
+        assert dst.header.K == K
+
+
 def test_lpc_pipelined_decode_bit_identical(monkeypatch):
     """A row-chunked LLPC v2 stream decoded through the fully-pipelined
     path (chunk decode / h2d / compute / d2h overlapped) must produce the
