@@ -561,14 +561,17 @@ def _encode_jobs_mesh(
     key: Optional[jax.Array],
     header_version: int,
     mesh,
+    bucket: bool = False,
 ) -> List[tuple[bytes, EncodeStats]]:
     """(image, K) jobs fanned out as experts over the mesh's "ep" axis: each
     device trains its own network(s) independently — the reference's run.sh
     shell fan-out (reference run.sh:29-40) as one sharded program.  `ijobs`
-    are (index into imgs, cfg) pairs; all images share one shape and the
-    cfgs differ only in K (``_experts_compatible``).  Streams are
-    deterministic; RD-equivalent (not byte-identical) to single-device
-    per-job encoding (vmapped matmul reduction order)."""
+    are (index into imgs, cfg) pairs; all images share one shape — or one
+    BUCKET shape when `bucket` (images `_pad_to_bucket`-padded, per-expert
+    pad masks via `fit_experts(hws=)`) — and the cfgs differ only in K
+    (``_experts_compatible``).  Streams are deterministic; RD-equivalent
+    (not byte-identical) to single-device per-job encoding (vmapped matmul
+    reduction order)."""
     import concurrent.futures
 
     from lbdrn_msic_tpu.models.siren import flatten_params, unstack_params
@@ -578,6 +581,10 @@ def _encode_jobs_mesh(
     C, H, W = imgs[0].shape
     cfg0 = cfgs[0]
     fspec = cfg0.features
+    dims = [im.shape[1:] for im in imgs]  # actual per-image (h, w)
+    if bucket:
+        H, W = bucket_dims(H, W, fspec.D)
+    needs_hws = any(d != (H, W) for d in dims)
     ep = mesh.shape["ep"]
     if key is None:
         key = jax.random.PRNGKey(cfg0.train.seed)
@@ -594,7 +601,14 @@ def _encode_jobs_mesh(
     Ks = [c.K for _, c in ejobs]
 
     t0 = time.time()
-    devs = {i: put_image(imgs[i]) for i in sorted({j for j, _ in ejobs})}
+    devs = {
+        i: put_image(
+            _pad_to_bucket(imgs[i], fspec.D, H, W)
+            if dims[i] != (H, W)
+            else imgs[i]
+        )
+        for i in sorted({j for j, _ in ejobs})
+    }
     planes, scales, labels_l, lscales = [], [], [], []
     for i, c in ejobs:
         plane, scale, labels = _prepare_tile(devs[i], c.K, fspec.D)
@@ -602,6 +616,11 @@ def _encode_jobs_mesh(
         scales.append(scale)
         labels_l.append(labels)
         lscales.append(jnp.float32(lsb_scale(c.K)))
+    hws = (
+        jnp.asarray([dims[i] for i, _ in ejobs], jnp.int32)
+        if needs_hws
+        else None
+    )
 
     # uniform staging across experts (vmap): budget covers the whole stack
     from lbdrn_msic_tpu.features.engine import row_taps_dtype, tap_matrix_dtype
@@ -643,6 +662,7 @@ def _encode_jobs_mesh(
         jnp.stack([tkey] * Epad),
         fspec, cfg0.model, cfg0.train, H, W, C,
         staging=staging, tap_dtype=jnp.dtype(dtype).name,
+        hws=hws,
     )
 
     def base_one(i, K, codec=cfg0.base_codec):
@@ -657,12 +677,13 @@ def _encode_jobs_mesh(
         flats = jax.device_get(result.params)  # blocks on training
         best_mse, best_epoch = jax.device_get((result.best_mse, result.best_epoch))
         t_train = time.time() - t0
-        for e, (_, cfg) in enumerate(ijobs):
+        for e, (i, cfg) in enumerate(ijobs):
+            h_i, w_i = dims[i]  # headers carry the ACTUAL dims
             flat = flatten_params(unstack_params(flats, e), fspec.feature_dim(C))
             nn = compress_weights(flat, cfg.precision, cfg.weight_codec)
             base = base_futs[e].result()
             header = header_from_config(
-                cfg, W, H, [len(nn)], [len(base)], version=header_version
+                cfg, w_i, h_i, [len(nn)], [len(base)], version=header_version
             )
             stream = encode_header(header) + nn + base
             stats = EncodeStats(
@@ -672,7 +693,7 @@ def _encode_jobs_mesh(
                     train_time=t_train / len(cfgs), base_time=0.0,
                 )],
                 total_bytes=len(stream),
-                n_subpixels=C * H * W,
+                n_subpixels=C * h_i * w_i,
                 elapsed=time.time() - t0,
             )
             results.append((stream, stats))
@@ -837,10 +858,10 @@ def encode_dataset(
     ``bucket=True`` groups by canonical bucket shape instead of exact
     shape (`bucket_dims`): images of different sizes in one bucket are
     `_pad_to_bucket`-padded and train together with per-expert pad masks
-    (`fit_rate_experts(hws=...)`) — the two GF-2 flagship shapes then
-    share one expert batch AND one compiled program.  Applies to the
-    default colors feature family on a single device (same gating as
-    `encode_image(bucket=True)`); the mesh path groups exact-shape.
+    (`fit_rate_experts(hws=...)` on one chip, `fit_experts(hws=...)` over
+    a mesh's ep axis) — the two GF-2 flagship shapes then share one
+    expert batch AND one compiled program.  Applies to the default
+    colors feature family (same gating as `encode_image(bucket=True)`).
     """
     njobs = []
     for img, cfg in jobs:
@@ -851,7 +872,6 @@ def encode_dataset(
     def bucket_ok(cfg) -> bool:
         return (
             bucket
-            and mesh is None
             and cfg.features.use_colors
             and not cfg.features.use_coords
         )
@@ -925,7 +945,9 @@ def _encode_job_group(
         ijobs.append((idmap[id(img)], cfg))
 
     if mesh is not None and mesh.shape.get("ep", 1) > 1:
-        return _encode_jobs_mesh(uniq, ijobs, key, header_version, mesh)
+        return _encode_jobs_mesh(
+            uniq, ijobs, key, header_version, mesh, bucket=bucket
+        )
 
     # one job per image (a single-rate-point dataset): the pipelined
     # per-job path wins — each fit uses the fastest (cached-f32) staging

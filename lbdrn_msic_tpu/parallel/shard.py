@@ -94,6 +94,7 @@ def fit_experts(
     C: int,
     staging: str = "full",
     tap_dtype: str = "int16",
+    hws: jnp.ndarray | None = None,
 ) -> FitResult:
     """Train E independent same-shaped experts, one per "ep" shard.
 
@@ -101,13 +102,32 @@ def fit_experts(
     label_scales: (E,); keys: (E,) PRNG keys.  Returns a FitResult whose
     leaves have a leading E axis.  This is the reference's run.sh sweep
     (K-points / tiles) as a single sharded program.
+
+    `hws` ((E, 2) int32): per-expert ACTUAL (height, width) when H/W are
+    shape-bucket dims and the planes/labels are bucket-padded — each
+    expert masks its own pad (fit_core's traced `hw`), so images of
+    different shapes in one bucket fan out over the mesh together.
     """
+    shard = NamedSharding(mesh, P("ep"))
+    if hws is not None:
+        body = functools.partial(
+            fit_core, fspec=fspec, mspec=mspec, tspec=tspec, H=H, W=W, C=C,
+            staging=staging, tap_dtype=tap_dtype,
+        )
+        vfit = jax.vmap(
+            lambda p, s, l, ls, k, hw: body(p, s, l, ls, k, hw=hw),
+            in_axes=(0, 0, 0, 0, 0, 0),
+        )
+        args = [
+            jax.device_put(a, shard)
+            for a in (planes, plane_scales, labels, label_scales, keys, hws)
+        ]
+        return jax.jit(vfit)(*args)
     body = functools.partial(
         fit_core, fspec=fspec, mspec=mspec, tspec=tspec, H=H, W=W, C=C,
         staging=staging, tap_dtype=tap_dtype,
     )
     vfit = jax.vmap(body, in_axes=(0, 0, 0, 0, 0))
-    shard = NamedSharding(mesh, P("ep"))
     args = [
         jax.device_put(a, shard)
         for a in (planes, plane_scales, labels, label_scales, keys)

@@ -34,7 +34,23 @@ STEPS = {
     "anchors": [sys.executable, "scripts/substitute_anchors.py"],
     "recipe": [sys.executable, "scripts/recipe_study.py"],
     "ablations": [sys.executable, "scripts/ablations.py"],
+    # network/split groups at representative scale (validation/ABLATION_SCALE.md)
+    "ablations1024": [
+        sys.executable, "scripts/ablations.py", "--size", "1024",
+        "--scenes", "2", "--groups", "network", "split",
+        "--out", "validation/ablations_1024",
+    ],
+    "ablations2048": [
+        sys.executable, "scripts/ablations.py", "--size", "2048",
+        "--scenes", "1", "--groups", "network",
+        "--out", "validation/ablations_2048",
+    ],
     "scale": [sys.executable, "scripts/scale_check.py", "--flagship"],
+    # cross-image dataset throughput A/B (VALIDATION.md dataset table)
+    "dataset": [
+        sys.executable, "scripts/scale_check.py", "--dataset", "4",
+        "--sizes", "2048", "--channels", "4", "--K", "3", "4", "5", "6",
+    ],
     "bench": [sys.executable, "bench.py"],
 }
 

@@ -324,6 +324,28 @@ def test_encode_dataset_mesh_cross_image():
         assert abs(psnr(im, rec) - psnr(im, solo)) < 0.5
 
 
+def test_encode_dataset_mesh_bucketed_mixed_shapes():
+    """encode_dataset(mesh=ep, bucket=True): images of DIFFERENT shapes in
+    one bucket fan out as experts over the mesh with per-expert pad masks
+    (fit_experts hws); streams decode at their actual shapes."""
+    from lbdrn_msic_tpu.codec import decode_stream, encode_dataset, encode_image
+    from lbdrn_msic_tpu.core.config import CodecConfig
+    from lbdrn_msic_tpu.eval.metrics import psnr
+
+    tr = TrainSpec(epochs=2, batch_size=1024)
+    a = synth_scene(100, 90, channels=2, effective_bits=12, seed=47)
+    b = synth_scene(120, 128, channels=2, effective_bits=12, seed=48)
+    jobs = [(im, CodecConfig(K=K, train=tr)) for im in (a, b) for K in (3, 5)]
+    results = encode_dataset(jobs, mesh=make_mesh(dp=1, ep=4), bucket=True)
+    for (im, cfg), (stream, _) in zip(jobs, results):
+        rec, dh = decode_stream(stream)
+        assert rec.shape == im.shape
+        assert (dh.header.height, dh.header.width) == im.shape[1:]
+        np.testing.assert_array_equal(rec >> cfg.K, im >> cfg.K)
+        solo, _ = decode_stream(encode_image(im, cfg, bucket=True)[0])
+        assert abs(psnr(im, rec) - psnr(im, solo)) < 0.5
+
+
 def test_sample_granule_mode():
     """Granule sampling (g>1) must train to a similar optimum as g=1 and
     handle non-divisible pixel counts via masking."""
