@@ -61,6 +61,7 @@ def load():
         if (
             not hasattr(lib, "lbdrn_lzw_decode")
             or not hasattr(lib, "lpc_compress2")
+            or not hasattr(lib, "lbdrn_assemble_residual")
         ) and _build():
             try:
                 lib = ctypes.CDLL(_SO)
@@ -115,6 +116,13 @@ def load():
             if fn is not None:
                 fn.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
                 fn.restype = ctypes.c_int64
+        fn = getattr(lib, "lbdrn_assemble_residual", None)
+        if fn is not None:
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
+            ]
         _lib = lib
         return _lib
 

@@ -278,6 +278,40 @@ def dispatch_streamed(
     return _make_finish(base, pend, band_rows, K)
 
 
+def _assemble_band(got, base_blk: np.ndarray, K: int) -> np.ndarray:
+    """K residual bitplanes + contiguous base block -> uint16 image block.
+
+    Native single-pass routine when available (codecs/native/assemble.cc —
+    no K x n intermediates); numpy unpackbits fallback is the oracle
+    (tests/test_native.py asserts byte equality)."""
+    import ctypes
+
+    from lbdrn_msic_tpu.codecs import _native
+
+    n = base_blk.size
+    lib = _native.load()
+    fn = getattr(lib, "lbdrn_assemble_residual", None) if lib else None
+    if fn is not None and K <= 16:
+        out = np.empty(base_blk.shape, np.uint16)
+        arrs = [np.ascontiguousarray(p) for p in got]
+        ptrs = (ctypes.c_void_p * len(arrs))(
+            *[a.ctypes.data for a in arrs]
+        )
+        rc = fn(
+            ptrs, K,
+            ctypes.c_void_p(base_blk.ctypes.data),
+            1 if base_blk.dtype == np.uint8 else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            n,
+        )
+        if rc == 0:
+            return out
+    res = np.zeros(n, np.uint16)
+    for j, plane_bytes in enumerate(got):
+        res |= np.unpackbits(plane_bytes)[:n].astype(np.uint16) << j
+    return (base_blk.astype(np.uint16) << K) + res.reshape(base_blk.shape)
+
+
 def _make_finish(base: np.ndarray, pend, band_rows: int, K: int):
     """Zero-arg closure fetching dispatched residual bands and assembling
     the final uint16 image on host (shared by the decode entry points)."""
@@ -287,21 +321,17 @@ def _make_finish(base: np.ndarray, pend, band_rows: int, K: int):
         import concurrent.futures
 
         out = np.empty((C, H, W), np.uint16)
-        band_n = C * band_rows * W
 
         def assemble(item):
             r0, dev_planes = item
             got = jax.device_get(dev_planes)  # one batched fetch per band
-            res = np.zeros(band_n, np.uint16)
-            for j, plane_bytes in enumerate(got):
-                res |= np.unpackbits(plane_bytes)[:band_n].astype(np.uint16) << j
-            res = res.reshape(C, band_rows, W)
-            blk = base[:, r0 : r0 + band_rows].astype(np.uint16) << K
-            out[:, r0 : r0 + band_rows] = blk + res
+            blk = np.ascontiguousarray(base[:, r0 : r0 + band_rows])
+            out[:, r0 : r0 + band_rows] = _assemble_band(got, blk, K)
 
-        # unpackbits/shift/or release the GIL: a small pool overlaps one
-        # band's host assembly with another's d2h fetch (the serial loop
-        # was the decode bottleneck — 0.9 s host time for a 2048^2x4 scene)
+        # the assembly math releases the GIL (native routine / numpy): a
+        # small pool overlaps one band's host assembly with another's d2h
+        # fetch (the serial loop was the decode bottleneck — 0.9 s host
+        # time for a 2048^2x4 scene)
         with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
             list(pool.map(assemble, pend))
         return out

@@ -134,6 +134,31 @@ def test_lpc_v2_base_layer_threshold():
     np.testing.assert_array_equal(decode_base(s_short, "lpc"), short)
 
 
+def test_native_assemble_residual_matches_numpy():
+    """assemble.cc one-pass bitplane assembly == the numpy unpackbits
+    oracle, for uint8/uint16 bases, byte-tail sizes and K edge cases."""
+    import lbdrn_msic_tpu.codecs._native as _nat
+    from lbdrn_msic_tpu.decode.reconstruct import _assemble_band
+
+    rng = np.random.default_rng(5)
+    for K, dt, n in [(5, np.uint8, 4096), (10, np.uint16, 8 * 37 + 3),
+                     (1, np.uint8, 8), (15, np.uint16, 1001)]:
+        base = rng.integers(0, 1 << 6, n, dtype=np.uint16).astype(dt)
+        base = base.reshape(1, 1, n)
+        got = [
+            rng.integers(0, 256, -(-n // 8), dtype=np.uint8)
+            for _ in range(K)
+        ]
+        have = _assemble_band(got, base, K)
+        real_load = _nat.load
+        try:
+            _nat.load = lambda: None  # force the numpy oracle path
+            want = _assemble_band(got, base, K)
+        finally:
+            _nat.load = real_load
+        np.testing.assert_array_equal(have, want)
+
+
 # ---- native TIFF chunk decoders (tiffcodecs.cc) vs the Python oracles ----
 
 def _lzw_encode_tiff(data: bytes) -> bytes:
