@@ -389,7 +389,19 @@ def dispatch_streamed_lpc(
         [dec_pool.submit(dec_one, ci, k) for ci in range(C)]
         for k in range(nk)
     ]
-    pend = []
+    # assembly starts as soon as a band is dispatched (its device_get
+    # blocks until the device finishes that band): early bands' d2h and
+    # host assembly ride UNDER the remaining chunk decodes instead of
+    # starting after the last dispatch
+    out = np.empty((C, H, W), np.uint16)
+    asm_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+
+    def assemble(r0, dev_planes):
+        got = jax.device_get(dev_planes)  # one batched fetch per band
+        blk = np.ascontiguousarray(base[:, r0 : r0 + cr])
+        out[:, r0 : r0 + cr] = _assemble_band(got, blk, K)
+
+    asm_futs = []
     for k in range(nk):
         for f in futs[k]:
             f.result()
@@ -402,9 +414,18 @@ def dispatch_streamed_lpc(
             jnp.asarray(band), params, jnp.float32(scale),
             fspec, mspec, jnp.int32(K), W, cr,
         )
-        pend.append((r0, [planes[j] for j in range(K)]))
+        asm_futs.append(
+            asm_pool.submit(assemble, r0, [planes[j] for j in range(K)])
+        )
     dec_pool.shutdown()
-    return base, _make_finish(base, pend, cr, K)
+
+    def finish() -> np.ndarray:
+        for f in asm_futs:
+            f.result()
+        asm_pool.shutdown()
+        return out
+
+    return base, finish
 
 
 def reconstruct_streamed(
