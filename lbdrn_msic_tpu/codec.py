@@ -852,8 +852,10 @@ def encode_dataset(
     are RD-equivalent to per-job `encode_image` at matched settings (same
     data order, optimizer, eval cadence; batched-matmul reduction order
     differs).  With ``key=None`` every expert uses the reference seed
-    semantics exactly as `encode_image` does; an explicit key is folded
-    per chunk for deterministic-but-distinct streams.
+    semantics exactly as `encode_image` does.  An explicit key stays
+    deterministic: expert groups share one fold (``fold_in(key, 0)``,
+    matching `encode_rate_points`), partner-less jobs fold their global
+    job index.
 
     ``bucket=True`` groups by canonical bucket shape instead of exact
     shape (`bucket_dims`): images of different sizes in one bucket are
@@ -898,14 +900,10 @@ def encode_dataset(
             groups.append([j])
 
     results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(njobs)
+    singles: List[int] = []
     for grp in groups:
         if len(grp) == 1:
-            j = grp[0]
-            img, cfg = njobs[j]
-            jkey = jax.random.fold_in(key, j) if key is not None else None
-            results[j] = encode_image(
-                img, cfg, jkey, header_version, bucket=bucket
-            )
+            singles.append(grp[0])
             continue
         gres = _encode_job_group(
             [njobs[j] for j in grp], key, header_version, mesh, max_experts,
@@ -913,6 +911,25 @@ def encode_dataset(
         )
         for j, r in zip(grp, gres):
             results[j] = r
+    if singles:
+        if key is None:
+            # jobs without a partner still overlap each other's h2d/host
+            # codecs (byte-identical to per-job encode_image — the
+            # encode_pipelined contract); covers e.g. coords-only configs
+            # that cannot expert-batch
+            sres = encode_pipelined(
+                [njobs[j] for j in singles], None, header_version,
+                bucket=bucket,
+            )
+            for j, r in zip(singles, sres):
+                results[j] = r
+        else:
+            for j in singles:  # explicit key: per-job fold (documented)
+                img, cfg = njobs[j]
+                results[j] = encode_image(
+                    img, cfg, jax.random.fold_in(key, j), header_version,
+                    bucket=bucket,
+                )
     assert all(r is not None for r in results)
     return results  # type: ignore[return-value]
 
@@ -945,9 +962,35 @@ def _encode_job_group(
         ijobs.append((idmap[id(img)], cfg))
 
     if mesh is not None and mesh.shape.get("ep", 1) > 1:
-        return _encode_jobs_mesh(
-            uniq, ijobs, key, header_version, mesh, bucket=bucket
+        # the mesh path materializes every expert's padded plane + label
+        # stack before sharding, so bound the chunk like the single-chip
+        # path: ~4x(plane+labels) uint16 bytes per expert plus staging
+        # margin, and keep the expert count a full multiple of the axis
+        C0, H0, W0 = uniq[0].shape
+        Hb, Wb = (
+            bucket_dims(H0, W0, gjobs[0][1].features.D)
+            if bucket
+            else (H0, W0)
         )
+        per = 5 * Hb * Wb * C0
+        ep = mesh.shape["ep"]
+        cap = max(max_experts, ep)
+        mchunks: List[List[tuple[int, CodecConfig]]] = [[]]
+        acc = 0
+        for j in ijobs:
+            if mchunks[-1] and (
+                len(mchunks[-1]) >= cap or acc + per > STAGE_BUDGET_BYTES
+            ):
+                mchunks.append([])
+                acc = 0
+            mchunks[-1].append(j)
+            acc += per
+        out: List[tuple[bytes, EncodeStats]] = []
+        for ch in mchunks:
+            out += _encode_jobs_mesh(
+                uniq, ch, key, header_version, mesh, bucket=bucket
+            )
+        return out
 
     # one job per image (a single-rate-point dataset): the pipelined
     # per-job path wins — each fit uses the fastest (cached-f32) staging
@@ -1148,17 +1191,17 @@ def _dispatch_decode(data: bytes, mesh, pt):
         if header.base_codec == "lpc" and sp == 1 and not fspec.use_coords:
             from lbdrn_msic_tpu.decode.reconstruct import dispatch_streamed_lpc
 
-            with pt.phase("dispatch_pipelined"):
-                flat = decompress_weights(nn, header.weight_codec)
-                got = None
-                try:
-                    from lbdrn_msic_tpu.codecs import lpc as _lpc
+            try:  # cheap header peek BEFORE any weight work
+                from lbdrn_msic_tpu.codecs import lpc as _lpc
 
-                    info = _lpc.chunk_info(base_stream)
-                except RuntimeError:
-                    info = None  # native lib unavailable -> plain path
-                if info is not None:
+                info = _lpc.chunk_info(base_stream)
+            except RuntimeError:
+                info = None  # native lib unavailable -> plain path
+            got = None
+            if info is not None and info[5] > 1:
+                with pt.phase("dispatch_pipelined"):
                     C = info[0]
+                    flat = decompress_weights(nn, header.weight_codec)
                     params = unflatten_params(
                         flat, fspec.feature_dim(C), C, mspec
                     )

@@ -44,9 +44,9 @@ def encode(msb: np.ndarray, chunk_rows: int = 0) -> bytes:
     wide = np.ascontiguousarray(msb, dtype=np.uint16)
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_uint64()
+    if chunk_rows > 0 and not hasattr(lib, "lpc_compress2"):
+        chunk_rows = 0  # stale pre-v2 .so whose rebuild failed: emit v1
     if chunk_rows > 0:
-        if not hasattr(lib, "lpc_compress2"):
-            raise RuntimeError("native library predates LLPC v2; rebuild")
         rc = lib.lpc_compress2(
             wide.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             c, h, w, itemsize, chunk_rows,

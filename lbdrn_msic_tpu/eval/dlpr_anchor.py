@@ -88,7 +88,10 @@ def external_dl_codec(
             + list(code_res)
         )
         out += struct.pack(
-            "<II", len(code_lossy["img_strings"][0]), len(code_res)
+            "<III",
+            len(code_lossy["img_strings"][0]),
+            len(code_lossy["img_strings"][1]),
+            len(code_res),
         )
         out += struct.pack("<ii", *res_range)
         for p in parts:
@@ -98,20 +101,20 @@ def external_dl_codec(
 
     def dec(data: bytes) -> np.ndarray:
         h, w = struct.unpack_from("<II", data, 0)
-        n_lossy, n_res = struct.unpack_from("<II", data, 8)
-        res_range = list(struct.unpack_from("<ii", data, 16))
-        ptr = 24
+        n_y, n_z, n_res = struct.unpack_from("<III", data, 8)
+        res_range = list(struct.unpack_from("<ii", data, 20))
+        ptr = 28
         parts = []
-        for _ in range(2 * n_lossy + n_res):
+        for _ in range(n_y + n_z + n_res):
             (ln,) = struct.unpack_from("<I", data, ptr)
             ptr += 4
             parts.append(data[ptr : ptr + ln])
             ptr += ln
         code_lossy = {
-            "img_strings": [parts[:n_lossy], parts[n_lossy : 2 * n_lossy]],
+            "img_strings": [parts[:n_y], parts[n_y : n_y + n_z]],
             "shape": [1, 3, h, w],
         }
-        code_res = parts[2 * n_lossy :]
+        code_res = parts[n_y + n_z :]
         hwc = decompress(nll_model, code_lossy, code_res, res_range, cot, tau)
         return np.asarray(hwc).transpose(2, 0, 1).astype(np.uint16)
 

@@ -109,27 +109,28 @@ def fit_experts(
     different shapes in one bucket fan out over the mesh together.
     """
     shard = NamedSharding(mesh, P("ep"))
-    if hws is not None:
-        body = functools.partial(
-            fit_core, fspec=fspec, mspec=mspec, tspec=tspec, H=H, W=W, C=C,
-            staging=staging, tap_dtype=tap_dtype,
-        )
-        vfit = jax.vmap(
-            lambda p, s, l, ls, k, hw: body(p, s, l, ls, k, hw=hw),
-            in_axes=(0, 0, 0, 0, 0, 0),
-        )
-        args = [
-            jax.device_put(a, shard)
-            for a in (planes, plane_scales, labels, label_scales, keys, hws)
-        ]
-        return jax.jit(vfit)(*args)
+    vfit = _expert_vfit(
+        fspec, mspec, tspec, H, W, C, staging, tap_dtype, hws is not None
+    )
+    args = (planes, plane_scales, labels, label_scales, keys) + (
+        (hws,) if hws is not None else ()
+    )
+    return vfit(*[jax.device_put(a, shard) for a in args])
+
+
+@functools.lru_cache(maxsize=None)
+def _expert_vfit(fspec, mspec, tspec, H, W, C, staging, tap_dtype, with_hws):
+    """Cached jitted vmap of fit_core over the expert axis — one traced
+    program per (specs, bucket shape, staging, hws?) signature, so
+    repeated mesh fan-outs reuse the compile instead of re-tracing a
+    fresh jit wrapper per call."""
     body = functools.partial(
         fit_core, fspec=fspec, mspec=mspec, tspec=tspec, H=H, W=W, C=C,
         staging=staging, tap_dtype=tap_dtype,
     )
-    vfit = jax.vmap(body, in_axes=(0, 0, 0, 0, 0))
-    args = [
-        jax.device_put(a, shard)
-        for a in (planes, plane_scales, labels, label_scales, keys)
-    ]
-    return jax.jit(vfit)(*args)
+    if with_hws:
+        return jax.jit(jax.vmap(
+            lambda p, s, l, ls, k, hw: body(p, s, l, ls, k, hw=hw),
+            in_axes=(0, 0, 0, 0, 0, 0),
+        ))
+    return jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, 0)))
