@@ -86,6 +86,21 @@ def fused_parity_check(n_steps=5, lr=1e-3) -> bool:
     y = jax.random.uniform(k2, (B, C), jnp.float32)
     mask = jnp.ones((B,), jnp.float32)
 
+    # comparison math inside TWO jitted programs: on this backend every
+    # EAGER jnp op compiles its own remote program (~0.3-0.6 s each), so
+    # the per-step allclose + per-leaf max loop were ~20 tiny compiles of
+    # cold-start for no reason (docs/PERF.md "Compile budget")
+    @jax.jit
+    def _loss_close(a, b):
+        return jnp.allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    @jax.jit
+    def _max_drift(p1, p2):
+        return jnp.max(jnp.stack([
+            jnp.abs(a - b).max()
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2))
+        ]))
+
     ok = True
     pf, mf, vf = params, zeros, zeros
     pr, mr, vr = params, zeros, zeros
@@ -97,10 +112,8 @@ def fused_parity_check(n_steps=5, lr=1e-3) -> bool:
         pr, mr, vr, loss_r = reference_train_step(
             pr, mr, vr, x, y, mask, lr_, jnp.int32(step), mspec, C
         )
-        ok &= bool(jnp.allclose(loss_f, loss_r, rtol=1e-4, atol=1e-6))
-    bound = 3.0 * n_steps * lr
-    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pr)):
-        ok &= bool(jnp.abs(a - b).max() < bound)
+        ok &= bool(_loss_close(loss_f, loss_r))
+    ok &= bool(_max_drift(pf, pr) < 3.0 * n_steps * lr)
     return ok
 
 

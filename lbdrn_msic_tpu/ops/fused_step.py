@@ -875,6 +875,9 @@ def fused_expert_step(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mspec", "dim_out", "match_kernel", "mm_dtype")
+)
 def reference_train_step(
     params: SirenParams,
     m_state: SirenParams,
@@ -890,6 +893,8 @@ def reference_train_step(
     mm_dtype: str | None = None,
 ):
     """Pure-JAX oracle with identical SEMANTICS (for tests and fallbacks).
+    Jitted: run eagerly it costs dozens of per-op remote compiles on this
+    backend (docs/PERF.md "Compile budget").
 
     By default it uses exact `jnp.sin` and XLA autodiff — the ground truth
     the kernels are held against at trajectory tolerances.  With
