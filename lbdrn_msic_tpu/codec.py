@@ -73,7 +73,8 @@ class DecodeStats:
     header: StreamHeader
     # host-side phase accounting: base_decode (host base-layer codec),
     # dispatch (weight decode + device residual dispatch), fetch_assemble
-    # (blocking on d2h bitplanes + host bit-unpack/add)
+    # (blocking on d2h bitplanes + host assembly) — or dispatch_pipelined
+    # when a row-chunked LLPC v2 stream takes the overlapped path
     phases: Optional[dict] = None
 
 
