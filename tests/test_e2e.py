@@ -371,6 +371,29 @@ def test_encode_dataset_groups_and_fallbacks():
         assert results[j][0] == solo
 
 
+def test_encode_dataset_explicit_key_singletons():
+    """Partner-less jobs with an explicit key fold their global job index
+    (matching per-job encode_image with the same fold), per the documented
+    key contract."""
+    import jax
+
+    from lbdrn_msic_tpu.codec import encode_dataset
+
+    tr = TrainSpec(epochs=1, batch_size=1024)
+    a = synth_scene(40, 40, channels=2, seed=1)
+    b = synth_scene(32, 32, channels=2, seed=2)  # unique shapes -> singles
+    key = jax.random.PRNGKey(9)
+    res = encode_dataset(
+        [(a, CodecConfig(K=4, train=tr)), (b, CodecConfig(K=4, train=tr))],
+        key=key,
+    )
+    for j, im in enumerate((a, b)):
+        solo, _ = encode_image(
+            im, CodecConfig(K=4, train=tr), jax.random.fold_in(key, j)
+        )
+        assert res[j][0] == solo
+
+
 def test_encode_dataset_chunking(monkeypatch):
     """A staging budget that cannot hold every expert splits the group into
     chunks; results stay RD-equivalent and ordered."""
