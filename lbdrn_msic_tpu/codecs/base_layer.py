@@ -10,7 +10,11 @@ The reference codes the MSB plane with lossless JPEG 2000 via
   limit); a tiny container records the grouping.
 - ``lpc`` — the framework's native C++ lossless predictive coder
   (codecs/native/lpc.cc): MED/GAP-style prediction + adaptive range coding,
-  built for 10/12-bit satellite bands.  Usually out-compresses JP2 here.
+  built for 10/12-bit satellite bands.  Measured on the synthetic suite it
+  costs ~2-3 % more bytes than JP2 (e.g. 1.936 vs 1.887 bpsp at WFI
+  shapes, +0.1-0.3 % more for v2 chunking) in exchange for much faster,
+  chunk-parallel, streamable decode — the throughput/RD trade is
+  quantified in docs/PERF.md ("Decode budget").
 
 Both are host-side stages meant to overlap with device training.
 """

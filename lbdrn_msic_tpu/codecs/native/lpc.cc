@@ -216,7 +216,11 @@ int ParseV2(const uint8_t* data, uint64_t len, V2Layout* out) {
   out->h = static_cast<int>(h32);
   out->w = static_cast<int>(w32);
   out->chunk_rows = static_cast<int>(cr32);
-  if (out->h < 1 || out->w < 1 || out->chunk_rows < 1) return 1;
+  // mirror lpc_compress2's input validation: a c=0 or bad-itemsize stream
+  // must fail the parse, not "succeed" with an uninitialized output
+  if (out->h < 1 || out->w < 1 || out->chunk_rows < 1 || out->c < 1 ||
+      (out->itemsize != 1 && out->itemsize != 2))
+    return 1;
   out->n_chunks = (out->h + out->chunk_rows - 1) / out->chunk_rows;
   int nt = out->c * out->n_chunks;
   if (len < kHdr2 + 4ull * nt) return 1;
@@ -300,6 +304,8 @@ int lpc_peek(const uint8_t* data, uint64_t len, int* c, int* h, int* w,
   std::memcpy(&w32, data + 11, 4);
   *h = static_cast<int>(h32);
   *w = static_cast<int>(w32);
+  if (*h < 1 || *w < 1 || *c < 1 || (*itemsize != 1 && *itemsize != 2))
+    return 1;
   return 0;
 }
 
@@ -401,6 +407,7 @@ int lpc_decompress(const uint8_t* data, uint64_t len, uint16_t* out,
     });
     return 0;
   }
+  if (len < 15 + 4ull * c) return 3;  // size table must be in-bounds
   std::vector<uint32_t> sizes(c);
   uint64_t off = 15;
   for (int ci = 0; ci < c; ++ci) {

@@ -323,17 +323,23 @@ def _make_finish(base: np.ndarray, pend, band_rows: int, K: int):
         out = np.empty((C, H, W), np.uint16)
 
         def assemble(item):
-            r0, dev_planes = item
+            # when H % band_rows != 0 the final band (r0 = H - band_rows)
+            # overlaps its predecessor's rows; skip them so two pool
+            # threads never write the same out[] rows concurrently
+            b, (r0, dev_planes) = item
+            skip = max(0, b * band_rows - r0)
             got = jax.device_get(dev_planes)  # one batched fetch per band
             blk = np.ascontiguousarray(base[:, r0 : r0 + band_rows])
-            out[:, r0 : r0 + band_rows] = _assemble_band(got, blk, K)
+            out[:, r0 + skip : r0 + band_rows] = _assemble_band(got, blk, K)[
+                :, skip:
+            ]
 
         # the assembly math releases the GIL (native routine / numpy): a
         # small pool overlaps one band's host assembly with another's d2h
         # fetch (the serial loop was the decode bottleneck — 0.9 s host
         # time for a 2048^2x4 scene)
         with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
-            list(pool.map(assemble, pend))
+            list(pool.map(assemble, enumerate(pend)))
         return out
 
     return finish
@@ -367,7 +373,9 @@ def dispatch_streamed_lpc(
     if info is None:
         return None
     C, H, W, itemsize, cr, nk, mx = info
-    if nk < 2 or H < cr or fspec.use_coords:
+    # cr < D would put part of a band's bottom halo in chunk k+2 while we
+    # only wait on chunks k and k+1 — undersized chunks take the plain path
+    if nk < 2 or H < cr or cr < fspec.D or fspec.use_coords:
         return None
     dtype = np.uint8 if itemsize == 1 else np.uint16
     base = np.empty((C, H, W), dtype)
@@ -396,10 +404,12 @@ def dispatch_streamed_lpc(
     out = np.empty((C, H, W), np.uint16)
     asm_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
 
-    def assemble(r0, dev_planes):
+    def assemble(r0, skip, dev_planes):
+        # `skip` drops rows already covered by the previous band (final
+        # band only, when H % cr != 0): no concurrent same-row writes
         got = jax.device_get(dev_planes)  # one batched fetch per band
         blk = np.ascontiguousarray(base[:, r0 : r0 + cr])
-        out[:, r0 : r0 + cr] = _assemble_band(got, blk, K)
+        out[:, r0 + skip : r0 + cr] = _assemble_band(got, blk, K)[:, skip:]
 
     asm_futs = []
     for k in range(nk):
@@ -415,7 +425,10 @@ def dispatch_streamed_lpc(
             fspec, mspec, jnp.int32(K), W, cr,
         )
         asm_futs.append(
-            asm_pool.submit(assemble, r0, [planes[j] for j in range(K)])
+            asm_pool.submit(
+                assemble, r0, max(0, k * cr - r0),
+                [planes[j] for j in range(K)],
+            )
         )
     dec_pool.shutdown()
 

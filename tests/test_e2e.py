@@ -314,6 +314,46 @@ def test_lpc_pipelined_decode_bit_identical(monkeypatch):
     np.testing.assert_array_equal(rec_pipe >> 5, img >> 5)
 
 
+def test_lpc_undersized_chunks_take_plain_path(monkeypatch):
+    """A v2 stream whose chunk_rows < D cannot satisfy the streamed
+    decoder's halo wait (band k's bottom halo would span chunks k+2..) —
+    it must take the plain path and still decode correctly (ADVICE r4
+    medium)."""
+    from lbdrn_msic_tpu.codecs import _native
+
+    if not _native.available():
+        pytest.skip("native codec library unavailable")
+    import lbdrn_msic_tpu.codecs.base_layer as bl
+    import lbdrn_msic_tpu.decode.reconstruct as rmod
+    from lbdrn_msic_tpu.codec import decode_stream, encode_image
+    from lbdrn_msic_tpu.core.config import FeatureSpec
+
+    monkeypatch.setattr(bl, "LPC_CHUNK_ROWS", 1)  # < D = 2
+    monkeypatch.setattr(bl, "LPC_CHUNK_MIN_H", 1)
+    img = synth_scene(64, 48, channels=2, effective_bits=12, seed=77)
+    cfg = CodecConfig(
+        K=4, base_codec="lpc", train=TrainSpec(epochs=1, batch_size=1024)
+    )
+    stream, _ = encode_image(img, cfg)
+    # the guard itself: undersized chunks refuse the streamed path
+    # (params unused before the guard fires)
+    from lbdrn_msic_tpu.io.header import decode_header, header_size
+
+    hdr = decode_header(stream)
+    ptr = header_size(stream) + hdr.nn_bytes[0]
+    base_stream = stream[ptr : ptr + hdr.base_bytes[0]]
+    assert (
+        rmod.dispatch_streamed_lpc(
+            base_stream, None, FeatureSpec(), hdr.model_spec(), 4
+        )
+        is None
+    )
+    rec, st = decode_stream(stream)
+    # the streamed dispatch declined, so the plain path's phases ran
+    assert "base_decode" in (st.phases or {}), st.phases
+    np.testing.assert_array_equal(rec >> 4, img >> 4)
+
+
 def test_encode_dataset_matches_per_job():
     """Cross-image expert batching (VERDICT r3 #2): a multi-image dataset
     encode fills the expert axis across images, and every job's stream is
@@ -392,6 +432,35 @@ def test_encode_dataset_explicit_key_singletons():
             im, CodecConfig(K=4, train=tr), jax.random.fold_in(key, j)
         )
         assert res[j][0] == solo
+
+
+def test_encode_dataset_explicit_key_grouped_path_independent():
+    """Jobs in an expert group train from the shared group fold
+    (tile key fold_in(key, 0)) on EVERY execution path — including the
+    one-job-per-image pipelined fallback — so a job's bytes do not depend
+    on how unrelated jobs grouped (ADVICE r4)."""
+    import jax
+
+    from lbdrn_msic_tpu.codec import encode_dataset
+
+    tr = TrainSpec(epochs=1, batch_size=1024)
+    a = synth_scene(40, 40, channels=2, seed=3)
+    b = synth_scene(40, 40, channels=2, seed=4)  # same shape: one group
+    odd = synth_scene(32, 32, channels=2, seed=5)
+    key = jax.random.PRNGKey(11)
+    cfg = CodecConfig(K=4, train=tr)
+    # group of two single-rate-point images -> pipelined fallback
+    res = encode_dataset([(a, cfg), (b, cfg)], key=key)
+    # each job uses the group key directly (tile fold applied inside),
+    # exactly as encode_image(key=key) would
+    for j, im in enumerate((a, b)):
+        solo, _ = encode_image(im, cfg, key)
+        assert res[j][0] == solo, f"job {j} diverged from the group fold"
+    # path independence: an unrelated partner-less job must not change
+    # the grouped jobs' bytes
+    res3 = encode_dataset([(a, cfg), (odd, cfg), (b, cfg)], key=key)
+    assert res3[0][0] == res[0][0]
+    assert res3[2][0] == res[1][0]
 
 
 def test_encode_dataset_chunking(monkeypatch):

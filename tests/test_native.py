@@ -134,6 +134,40 @@ def test_lpc_v2_base_layer_threshold():
     np.testing.assert_array_equal(decode_base(s_short, "lpc"), short)
 
 
+def test_lpc_rejects_degenerate_headers():
+    """A stream claiming c=0 or a bad itemsize must FAIL the parse, not
+    'succeed' with an uninitialized output buffer (ADVICE r4): both wire
+    versions, peek/decode/chunk_info all reject."""
+    import struct
+
+    from lbdrn_msic_tpu.codecs import lpc
+
+    def v2_header(c=0, itemsize=2, h=4, w=4, cr=2):
+        return (
+            b"LLPC" + bytes([2, itemsize, c])
+            + struct.pack("<III", h, w, cr) + struct.pack("<H", 100)
+        )
+
+    def v1_header(c=0, itemsize=2, h=4, w=4):
+        return b"LLPC" + bytes([1, itemsize, c]) + struct.pack("<II", h, w)
+
+    for bad in (
+        v2_header(c=0),
+        v2_header(c=1, itemsize=3),
+        v2_header(c=1, itemsize=0),
+        v1_header(c=0),
+        v1_header(c=1, itemsize=3),
+    ):
+        with pytest.raises(ValueError):
+            lpc.decode(bad)
+        with pytest.raises(ValueError):
+            lpc.chunk_info(bad)
+    # a well-formed v1 header whose size table is truncated off the end
+    # must error, not read out of bounds
+    with pytest.raises(RuntimeError):
+        lpc.decode(v1_header(c=1, itemsize=2))
+
+
 def test_native_assemble_residual_matches_numpy():
     """assemble.cc one-pass bitplane assembly == the numpy unpackbits
     oracle, for uint8/uint16 bases, byte-tail sizes and K edge cases."""
