@@ -40,6 +40,26 @@ from lbdrn_msic_tpu.train.loop import FitResult, fit
 from lbdrn_msic_tpu.utils.transfer import put_image
 
 
+
+# jitted key derivation: eager PRNGKey/fold_in each dispatch 2 one-op
+# remote-compiled programs on this backend (convert + threefry); one jit
+# per helper collapses them (VERDICT r4 #2).  Values are identical to the
+# eager jax.random calls, so key contracts and streams are unchanged.
+@jax.jit
+def _seed_key(seed):
+    return jax.random.PRNGKey(seed)
+
+
+@jax.jit
+def _fold_key(key, idx):
+    return jax.random.fold_in(key, idx)
+
+
+@jax.jit
+def _stack_arrays(xs):
+    return jnp.stack(xs)
+
+
 @dataclasses.dataclass
 class TileStats:
     nn_bytes: int
@@ -271,7 +291,9 @@ def _train_tile(tile: np.ndarray, cfg: CodecConfig, key: jax.Array, mesh=None,
 
     # device-side prep for training
     plane, plane_scale, labels = _prepare_tile(dev, cfg.K, fspec.D)
-    label_scale = jnp.float32(lsb_scale(cfg.K))
+    # np scalar, not jnp: an eager jnp.float32() is a one-op device program
+    # that pays a full remote-compile round trip on this backend
+    label_scale = np.float32(lsb_scale(cfg.K))
 
     staging, dtype = pick_staging(H, W, C, max_msb, fspec, cfg.train)
     if mesh is not None and mesh.shape.get("dp", 1) > 1:
@@ -341,7 +363,7 @@ def encode_image(
         img = img[None]
     C, H, W = img.shape
     if key is None:
-        key = jax.random.PRNGKey(cfg.train.seed)
+        key = _seed_key(cfg.train.seed)
     t0 = time.time()
     timer = PhaseTimer()
     nn_streams, base_streams, tiles_stats = [], [], []
@@ -411,7 +433,7 @@ def encode_image(
             last_done = t3
 
         for tile_idx, tile in enumerate(split_image(img, cfg.split_ratio)):
-            tkey = jax.random.fold_in(key, tile_idx)
+            tkey = _fold_key(key, tile_idx)
             t1 = time.time()
             with timer.phase("dispatch"):
                 # dispatches device training; returns before the TPU finishes
@@ -517,9 +539,9 @@ def encode_pipelined(
                 if keys is not None:
                     job_key = keys[i]
                 elif key is not None:
-                    job_key = jax.random.fold_in(key, i)
+                    job_key = _fold_key(key, i)
                 else:
-                    job_key = jax.random.PRNGKey(cfg.train.seed)
+                    job_key = _seed_key(cfg.train.seed)
                 if cfg.split_ratio != 1:
                     if pending is not None:
                         finalize(pending)
@@ -529,7 +551,7 @@ def encode_pipelined(
                     )
                     continue
                 t_start = time.time()
-                tkey = jax.random.fold_in(job_key, 0)
+                tkey = _fold_key(job_key, 0)
                 flat_fn, msb_fn, result = _train_tile(img, cfg, tkey,
                                                       bucket=bucket)
                 base_future = pool.submit(
@@ -610,8 +632,8 @@ def _encode_jobs_mesh(
     needs_hws = any(d != (H, W) for d in dims)
     ep = mesh.shape["ep"]
     if key is None:
-        key = jax.random.PRNGKey(cfg0.train.seed)
-    tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
+        key = _seed_key(cfg0.train.seed)
+    tkey = _fold_key(key, 0)  # tile 0, as in encode_image
     E = len(ijobs)
     rounds, ep_eff, Epad = _expert_layout(E, ep)
     if ep_eff < ep:
@@ -632,13 +654,14 @@ def _encode_jobs_mesh(
         )
         for i in sorted({j for j, _ in ejobs})
     }
-    planes, scales, labels_l, lscales = [], [], [], []
+    planes, scales, labels_l = [], [], []
     for i, c in ejobs:
         plane, scale, labels = _prepare_tile(devs[i], c.K, fspec.D)
         planes.append(plane)
         scales.append(scale)
         labels_l.append(labels)
-        lscales.append(jnp.float32(lsb_scale(c.K)))
+    # host-built f32 vector: device_put, not E one-op compiles + a stack
+    lscales = np.asarray([lsb_scale(c.K) for _, c in ejobs], np.float32)
     hws = (
         jnp.asarray([dims[i] for i, _ in ejobs], jnp.int32)
         if needs_hws
@@ -681,7 +704,7 @@ def _encode_jobs_mesh(
     result = fit_experts(
         mesh,
         jnp.stack(planes), jnp.stack(scales),
-        jnp.stack(labels_l), jnp.stack(lscales),
+        jnp.stack(labels_l), lscales,
         jnp.stack([tkey] * Epad),
         fspec, cfg0.model, cfg0.train, H, W, C,
         staging=staging, tap_dtype=jnp.dtype(dtype).name,
@@ -796,8 +819,8 @@ def encode_rate_points(
         acc += b
 
     if key is None:
-        key = jax.random.PRNGKey(cfg0.train.seed)
-    tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
+        key = _seed_key(cfg0.train.seed)
+    tkey = _fold_key(key, 0)  # tile 0, as in encode_image
 
     results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(cfgs)
     dev_img = put_image(img)  # ONE delta-coded h2d for every rate point
@@ -952,7 +975,7 @@ def encode_dataset(
             for j in singles:  # explicit key: per-job fold (documented)
                 img, cfg = njobs[j]
                 results[j] = encode_image(
-                    img, cfg, jax.random.fold_in(key, j), header_version,
+                    img, cfg, _fold_key(key, j), header_version,
                     bucket=bucket,
                 )
     assert all(r is not None for r in results)
@@ -1107,8 +1130,8 @@ def _encode_job_group(
         acc += cost
 
     if key is None:
-        key = jax.random.PRNGKey(cfg0.train.seed)
-    tkey = jax.random.fold_in(key, 0)  # tile 0, as in encode_image
+        key = _seed_key(cfg0.train.seed)
+    tkey = _fold_key(key, 0)  # tile 0, as in encode_image
 
     results: List[Optional[tuple[bytes, EncodeStats]]] = [None] * len(gjobs)
 
@@ -1159,7 +1182,7 @@ def _encode_job_group(
             remap = {i: r for r, i in enumerate(c_imgs)}
             # h2d of this chunk's images overlaps the previous chunk's
             # training (async dispatch; DMA rides under compute)
-            dev_imgs = jnp.stack([
+            dev_imgs = _stack_arrays([
                 put_image(
                     _pad_to_bucket(uniq[i], fspec.D, H, W)
                     if dims[i] != (H, W)

@@ -46,10 +46,11 @@ def test_delta_path_bitexact_adversarial(monkeypatch, rng):
     val_p[: pos.size] = val
     import jax.numpy as jnp
 
+    d_dev = transfer._exc_scatter(clipped.astype(np.int8), pos_p, val_p)
     got = np.asarray(
         transfer._undelta(
-            np.ascontiguousarray(img[:, :, :1]), clipped.astype(np.int8),
-            pos_p, val_p, (C, H, W), jnp.uint16,
+            np.ascontiguousarray(img[:, :, :1]), d_dev, (C, H, W),
+            jnp.uint16,
         )
     )
     np.testing.assert_array_equal(got, img)
