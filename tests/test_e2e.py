@@ -289,6 +289,30 @@ def test_decode_pipelined_matches_per_stream():
         assert dst.header.K == K
 
 
+def test_decode_pipelined_ahead_and_memory_gate(monkeypatch):
+    """The dispatch-ahead worker (ahead > 1) and the in-flight byte gate
+    must both preserve order and bit-identity to per-stream decodes."""
+    import lbdrn_msic_tpu.codec as codec_mod
+    from lbdrn_msic_tpu.codec import decode_pipelined_iter
+
+    tr = TrainSpec(epochs=1, batch_size=1024)
+    imgs = [synth_scene(48, 40, channels=2, seed=s) for s in range(96, 102)]
+    streams = [encode_image(im, CodecConfig(K=4, train=tr))[0]
+               for im in imgs]
+    solos = [decode_stream(s)[0] for s in streams]
+    # deep ahead: all six in flight
+    out = list(decode_pipelined_iter(iter(streams), ahead=5))
+    for solo, (rec, _) in zip(solos, out):
+        np.testing.assert_array_equal(rec, solo)
+    # byte gate: force the estimate over budget -> degrade toward serial,
+    # still correct and ordered
+    monkeypatch.setattr(codec_mod, "DECODE_AHEAD_BYTES", 1)
+    out = list(decode_pipelined_iter(iter(streams), ahead=3))
+    assert len(out) == 6
+    for solo, (rec, _) in zip(solos, out):
+        np.testing.assert_array_equal(rec, solo)
+
+
 def test_lpc_pipelined_decode_bit_identical(monkeypatch):
     """A row-chunked LLPC v2 stream decoded through the fully-pipelined
     path (chunk decode / h2d / compute / d2h overlapped) must produce the
