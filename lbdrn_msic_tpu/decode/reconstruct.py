@@ -18,6 +18,7 @@ import numpy as np
 
 from lbdrn_msic_tpu.core.config import FeatureSpec, ModelSpec
 from lbdrn_msic_tpu.features.engine import pad_plane, row_block_features
+from lbdrn_msic_tpu.utils.transfer import put_image
 from lbdrn_msic_tpu.models.siren import (
     SirenParams,
     forward,
@@ -268,7 +269,7 @@ def dispatch_streamed(
             r0 = min(b * band_rows, H - band_rows)
             band = _band_halo(base, r0, band_rows, fspec.D)
             planes = _residual_band_planes_local(
-                jnp.asarray(band), params, scale,
+                put_image(band), params, scale,
                 fspec, mspec, np.int32(K), W, band_rows,
             )
             # slice out the K live planes now (async) so their d2h can
@@ -430,7 +431,7 @@ def dispatch_streamed_lpc(
         r0 = min(k * cr, H - cr)  # uniform bands: ONE compiled shape
         band = _band_halo(base, r0, cr, fspec.D)
         planes = _residual_band_planes_local(
-            jnp.asarray(band), params, scale,
+            put_image(band), params, scale,
             fspec, mspec, np.int32(K), W, cr,
         )
         asm_futs.append(

@@ -31,6 +31,10 @@ def main() -> int:
         help="run the real Gaofen scene shapes instead of --sizes/--channels: "
              "GF-6 WFI 6000x6000x8 and GF-2 7815x7605x4 (BASELINE.md)",
     )
+    p.add_argument("--base-codec", default="jp2", choices=["jp2", "lpc"])
+    p.add_argument("--decode-focus", action="store_true",
+                   help="--dataset mode: measure cross-image encode + "
+                        "pipelined decode only (skip encode-mode A/B)")
     p.add_argument(
         "--dataset", type=int, metavar="N", default=0,
         help="instead of per-image runs: encode an N-image x len(--K)-point "
@@ -109,7 +113,7 @@ def _dataset_check(args) -> int:
         synth_scene(h, w, channels=c, effective_bits=12, seed=100 + i)
         for i in range(args.dataset)
     ]
-    cfgs = [CodecConfig(K=K, train=tspec) for K in args.K]
+    cfgs = [CodecConfig(K=K, train=tspec, base_codec=args.base_codec) for K in args.K]
     jobs = [(im, cfg) for im in imgs for cfg in cfgs]
     total_mpx = len(jobs) * h * w / 1e6
 
@@ -129,6 +133,32 @@ def _dataset_check(args) -> int:
         return results, best
 
     res_x, t_x = run("cross-image experts", lambda: encode_dataset(jobs))
+
+    # decode half (VERDICT r4 #3): aggregate pipelined decode over the
+    # cross-image streams, dispatch-ahead depth 2 (the codec default)
+    from lbdrn_msic_tpu.codec import decode_pipelined_iter
+
+    streams = [s for s, _ in res_x]
+    list(decode_pipelined_iter(iter(streams)))  # warm-up
+    best_dec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        decs = [r for r, _ in decode_pipelined_iter(iter(streams))]
+        best_dec = min(best_dec, time.time() - t0)
+    print(
+        f"dataset {args.dataset}x{len(cfgs)} @ {h}x{w}x{c} "
+        f"[pipelined decode ahead=2]: {best_dec:.2f}s = "
+        f"{total_mpx / best_dec:.2f} Mpx/s aggregate "
+        f"({best_dec / len(jobs):.2f} s/job)",
+        flush=True,
+    )
+    for (im, cfg), rec in zip(jobs, decs):
+        assert np.array_equal(rec >> cfg.K, im >> cfg.K)
+    if args.decode_focus:
+        print("streams verified (decode focus: encode-mode A/B skipped)",
+              flush=True)
+        return 0
+
     _, t_p = run("per-job pipeline", lambda: encode_pipelined(jobs))
 
     def per_image():

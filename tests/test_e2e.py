@@ -324,9 +324,14 @@ def test_lpc_pipelined_decode_bit_identical(monkeypatch):
     import lbdrn_msic_tpu.decode.reconstruct as rmod
     from lbdrn_msic_tpu.codec import decode_stream, encode_image
 
+    import lbdrn_msic_tpu.utils.transfer as transfer
+
+    # K=2 keeps the MSB 10-bit -> uint16 bands; MIN_DELTA_BYTES=0 forces
+    # the delta-coded band h2d (put_image) so ITS bit-identity is covered
+    monkeypatch.setattr(transfer, "MIN_DELTA_BYTES", 0)
     img = synth_scene(1800, 96, channels=2, effective_bits=12, seed=55)
     cfg = CodecConfig(
-        K=5, base_codec="lpc", train=TrainSpec(epochs=1, batch_size=8192)
+        K=2, base_codec="lpc", train=TrainSpec(epochs=1, batch_size=8192)
     )
     stream, _ = encode_image(img, cfg)
     rec_pipe, st = decode_stream(stream)
@@ -335,7 +340,7 @@ def test_lpc_pipelined_decode_bit_identical(monkeypatch):
     rec_plain, st2 = decode_stream(stream)
     assert "base_decode" in (st2.phases or {}), st2.phases
     np.testing.assert_array_equal(rec_pipe, rec_plain)
-    np.testing.assert_array_equal(rec_pipe >> 5, img >> 5)
+    np.testing.assert_array_equal(rec_pipe >> 2, img >> 2)
 
 
 def test_lpc_undersized_chunks_take_plain_path(monkeypatch):
