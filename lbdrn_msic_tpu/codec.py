@@ -55,11 +55,6 @@ def _fold_key(key, idx):
     return jax.random.fold_in(key, idx)
 
 
-@jax.jit
-def _stack_arrays(xs):
-    return jnp.stack(xs)
-
-
 @dataclasses.dataclass
 class TileStats:
     nn_bytes: int
@@ -1182,14 +1177,16 @@ def _encode_job_group(
             remap = {i: r for r, i in enumerate(c_imgs)}
             # h2d of this chunk's images overlaps the previous chunk's
             # training (async dispatch; DMA rides under compute)
-            dev_imgs = _stack_arrays([
+            # tuple, NOT a stacked array: per-expert reads inside the fit
+            # stay Python indexing (no squeeze copies of full scenes)
+            dev_imgs = tuple(
                 put_image(
                     _pad_to_bucket(uniq[i], fspec.D, H, W)
                     if dims[i] != (H, W)
                     else uniq[i]
                 )
                 for i in c_imgs
-            ])
+            )
             Ks = tuple(ijobs[j][1].K for j in chunk)
             img_of = tuple(remap[ijobs[j][0]] for j in chunk)
             hws = (

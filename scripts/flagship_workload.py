@@ -115,7 +115,8 @@ def main(argv=None) -> int:
             imgs[stem] = read_tiff(path)
         else:
             imgs[stem] = synth_scene(
-                h, w, channels=c, effective_bits=12, seed=500 + i
+                h, w, channels=c, effective_bits=12, seed=500 + i,
+                fast=True,
             )
             write_tiff(path, imgs[stem])
     log(f"[synth] {len(scenes)} scenes in {time.time() - t0:.1f}s "

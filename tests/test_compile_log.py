@@ -89,7 +89,7 @@ def test_bench_path_program_count_bounded():
         "fit", "fit_rate_experts", "_seed_key", "_fold_key",
         "_exc_scatter", "_undelta", "_prepare_tile",
         "_residual_band_planes", "_residual_band_planes_local",
-        "_plane", "_stack_arrays",
+        "_plane",
     }
     unexpected = set(counts) - allowed
     assert not unexpected, f"unexpected programs leaked: {unexpected}"
