@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import List, Optional
 
@@ -94,6 +95,10 @@ class DecodeStats:
 
 
 STAGE_BUDGET_BYTES = 8 << 30  # tap staging budget per tile
+# dataset chunks of scenes above this (uint16 image + label bytes) run
+# device-serial instead of double-buffered: two queued flagship-scene
+# program arenas exceed the v5e's ~15.75 GB HBM (r5 measured crash)
+SERIAL_SCENE_BYTES = 256 << 20
 
 
 def _staging_bytes(H: int, W: int, C: int, fspec, g: int, tap_dt, raw_dt):
@@ -1137,14 +1142,17 @@ def _encode_job_group(
         return encode_base(msb, codec)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-        pending = None  # (chunk, t0, result, base_futs)
+        pending = None  # (chunk, t0, result, base_futs, dev_state|None)
 
         def finalize(p):
-            chunk, t0, result, base_futs = p
-            flats = jax.device_get(result.params)  # blocks on this chunk
-            best_mse, best_epoch = jax.device_get(
-                (result.best_mse, result.best_epoch)
-            )
+            chunk, t0, result, base_futs, dev_state = p
+            if dev_state is None:
+                flats = jax.device_get(result.params)  # blocks on this chunk
+                best_mse, best_epoch = jax.device_get(
+                    (result.best_mse, result.best_epoch)
+                )
+            else:  # device already synced (serial big-scene mode)
+                flats, best_mse, best_epoch = dev_state
             t_train = time.time() - t0
             for e, jidx in enumerate(chunk):
                 i, cfg = ijobs[jidx]
@@ -1171,10 +1179,39 @@ def _encode_job_group(
                     elapsed=time.time() - t0,
                 ))
 
-        for chunk in chunks:
+        # double-buffering queues TWO chunks' device programs; each
+        # program's temp arena holds the whole staging + plane + label
+        # set, so at flagship scene sizes two queued arenas exceed the
+        # 15.75 GB HBM (measured: GF-2-bucket chunk pairs of ~4 GiB
+        # estimated cost crashed the worker).  Big scenes therefore run
+        # DEVICE-serial: block on chunk n's result right after dispatch
+        # — its host base codecs keep running in the pool during the
+        # block, and only the next chunk's h2d/prep (~1-2 s) loses its
+        # overlap, noise against multi-second flagship fits.
+        plane_bytes = 2 * C * (H + 2 * fspec.D) * (W + 2 * fspec.D)
+        serial = per_image_fixed > SERIAL_SCENE_BYTES
+
+        def chunk_cost(ch):
+            n_img = len({ijobs[j][0] for j in ch})
+            return (
+                sum(per_expert[j] + plane_bytes for j in ch)
+                + n_img * per_image_fixed
+            )
+
+        debug = os.environ.get("LBDRN_DEBUG_CHUNKS")
+        for ci, chunk in enumerate(chunks):
             t0 = time.time()
             c_imgs = sorted({ijobs[j][0] for j in chunk})
             remap = {i: r for r, i in enumerate(c_imgs)}
+            if debug:
+                print(
+                    f"[encode_dataset] chunk {ci + 1}/{len(chunks)}: "
+                    f"E={len(chunk)} Ks={[ijobs[j][1].K for j in chunk]} "
+                    f"imgs={c_imgs} {staging} "
+                    f"~{chunk_cost(chunk) / 2**30:.2f} GiB"
+                    + (" serial" if serial else ""),
+                    flush=True,
+                )
             # h2d of this chunk's images overlaps the previous chunk's
             # training (async dispatch; DMA rides under compute)
             # tuple, NOT a stacked array: per-expert reads inside the fit
@@ -1206,10 +1243,16 @@ def _encode_job_group(
                 pool.submit(base_one, ijobs[j][0], ijobs[j][1].K)
                 for j in chunk
             ]
-            nxt = (chunk, t0, result, base_futs)
             if pending is not None:
                 finalize(pending)  # host work overlaps this chunk's training
-            pending = nxt
+            dev_state = None
+            if serial:
+                # ONE program on the device at a time: sync now, while
+                # this chunk's base codecs run in the worker pool
+                flats = jax.device_get(result.params)
+                best = jax.device_get((result.best_mse, result.best_epoch))
+                dev_state = (flats, *best)
+            pending = (chunk, t0, result, base_futs, dev_state)
         if pending is not None:
             finalize(pending)
     assert all(r is not None for r in results)
