@@ -1096,6 +1096,18 @@ def _encode_job_group(
     per_image_fixed = 4 * H * W * C  # uint16 image + label store
     if sum(per_expert) + len(uniq) * per_image_fixed > budget:
         budget //= 2
+    # flagship-class scenes: single-expert chunks only.  A fit program
+    # with >= 2 DISTINCT experts and the eval cadence hard-faults the TPU
+    # worker at Gaofen-bucket shapes (r5; reproduced with batched AND
+    # per-expert-unrolled evals, fused AND XLA steps, while the identical
+    # program with identical experts — which CSE to one — and the E=1
+    # programs run fine, and AOT memory analysis shows 7.8 G of 15.75 G).
+    # Recorded as a backend codegen fault; consecutive chunks of one
+    # image share its device upload (see dev_cache below) so the main
+    # expert-batching benefit — one h2d per image across its K points —
+    # survives the cap.
+    if per_image_fixed > SERIAL_SCENE_BYTES:
+        max_experts = 1
 
     # chunk: pack whole images (their experts stay adjacent, so repeated
     # sweeps produce few distinct (E, Ks, dtypes) program signatures);
@@ -1199,6 +1211,7 @@ def _encode_job_group(
             )
 
         debug = os.environ.get("LBDRN_DEBUG_CHUNKS")
+        dev_cache: dict[int, jax.Array] = {}  # image idx -> device copy
         for ci, chunk in enumerate(chunks):
             t0 = time.time()
             c_imgs = sorted({ijobs[j][0] for j in chunk})
@@ -1213,17 +1226,21 @@ def _encode_job_group(
                     flush=True,
                 )
             # h2d of this chunk's images overlaps the previous chunk's
-            # training (async dispatch; DMA rides under compute)
+            # training (async dispatch; DMA rides under compute); chunks
+            # are image-ordered, so the cache gives one upload per image
+            # across its consecutive chunks.
             # tuple, NOT a stacked array: per-expert reads inside the fit
             # stay Python indexing (no squeeze copies of full scenes)
-            dev_imgs = tuple(
-                put_image(
-                    _pad_to_bucket(uniq[i], fspec.D, H, W)
-                    if dims[i] != (H, W)
-                    else uniq[i]
-                )
-                for i in c_imgs
-            )
+            for stale in [i for i in dev_cache if i not in c_imgs]:
+                del dev_cache[stale]
+            for i in c_imgs:
+                if i not in dev_cache:
+                    dev_cache[i] = put_image(
+                        _pad_to_bucket(uniq[i], fspec.D, H, W)
+                        if dims[i] != (H, W)
+                        else uniq[i]
+                    )
+            dev_imgs = tuple(dev_cache[i] for i in c_imgs)
             Ks = tuple(ijobs[j][1].K for j in chunk)
             img_of = tuple(remap[ijobs[j][0]] for j in chunk)
             hws = (

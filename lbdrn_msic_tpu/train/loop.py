@@ -63,6 +63,13 @@ from lbdrn_msic_tpu.models.siren import (
 )
 
 
+# scenes above this pixel count use the unrolled per-expert eval in
+# fit_rate_experts (the batched eval faults the TPU worker at
+# Gaofen-bucket shapes with distinct experts — see
+# dataset_mse_experts_unrolled)
+EVAL_UNROLL_PX = 1 << 24
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FitResult:
@@ -806,10 +813,72 @@ def fit_rate_experts(
         y = y * lscales[:, None, None]
         return x, y, mask
 
+    def dataset_mse_experts_unrolled(paramsE):
+        """Per-expert eval as E independent block scans (flagship-size
+        scenes): the BATCHED eval below hard-crashes the TPU worker at
+        Gaofen-bucket shapes with >= 2 distinct experts (r5; exact same
+        program runs when identical experts CSE to one) — this unrolled
+        form mirrors the proven single-expert `dataset_mse` structure
+        and is bit-identical per expert (the batched einsum computes
+        each expert's matmul independently)."""
+        R = block_rows
+        n_blocks = -(-H // R)
+        tap_ok = staging == "full" and not fspec.use_coords and W % g == 0
+
+        def mse_one(e):
+            p_e = jax.tree.map(lambda a: a[e : e + 1], paramsE)
+
+            def body(acc, b):
+                r0 = jnp.minimum(b * R, H - R)
+                if tap_ok:
+                    tb = jax.lax.dynamic_slice(
+                        taps_g[e], (r0 * W // g, 0),
+                        (R * W // g, taps_g[e].shape[1]),
+                    )
+                    x = tb.astype(jnp.float32).reshape(R * W, -1) * scales[e]
+                else:
+                    x = row_block_features(
+                        planes[e], scales[e], r0, fspec, H, W, R
+                    )
+                pred = forward_experts(
+                    p_e, pad_features(x[None], padded_in), mspec,
+                    fast_act=use_fused,
+                )[0]
+                rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+                valid = (rows >= b * R) & (rows < H)
+                m = jnp.broadcast_to(valid, (R, W)).reshape(-1)
+                if hws is not None:
+                    cols = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+                    rows2 = jnp.broadcast_to(rows, (R, W))
+                    m = (
+                        m
+                        & (rows2.reshape(-1) < hws[e, 0])
+                        & (cols.reshape(-1) < hws[e, 1])
+                    )
+                yb = jax.lax.dynamic_slice(
+                    imgs[img_of[e]], (0, r0, 0), (C, R, W)
+                )
+                yr = jnp.transpose(yb.reshape(C, R * W), (1, 0))
+                y = (yr & kmasks[e]).astype(jnp.float32) * lscales[e]
+                sse = (((pred - y) ** 2) * m.astype(jnp.float32)[:, None]).sum()
+                return acc + sse, None
+
+            sse, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(n_blocks)
+            )
+            if hws is not None:
+                n_eff = (hws[e, 0] * hws[e, 1]).astype(jnp.float32)
+                return sse / (n_eff * C)
+            return sse / (n * C)
+
+        return jnp.stack([mse_one(e) for e in range(E)])
+
     def dataset_mse_experts(paramsE):
         """Full-image MSE per expert: tap-matrix slices when available
         (bit-identical, ~10x cheaper than rebuilding features — see
         dataset_mse), else the slice path (scan over row blocks)."""
+        if n > EVAL_UNROLL_PX:
+            return dataset_mse_experts_unrolled(paramsE)
         R = block_rows
         n_blocks = -(-H // R)
         tap_ok = staging == "full" and not fspec.use_coords and W % g == 0

@@ -239,3 +239,37 @@ def test_fused_expert_multi_step_fit_matches_per_step():
                     jax.tree.leaves(r_step.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_unrolled_expert_eval_matches_batched(monkeypatch):
+    """The big-scene per-expert eval (dataset_mse_experts_unrolled) must
+    produce the same best-MSE/params as the batched eval — it exists only
+    because the batched form faults the TPU worker at Gaofen-bucket
+    shapes (r5); numerics are the same computation per expert."""
+    import lbdrn_msic_tpu.train.loop as loop_mod
+    from lbdrn_msic_tpu.train.loop import fit_rate_experts
+
+    imgs = tuple(
+        jnp.asarray(synth_scene(72, 56, channels=2, seed=s))
+        for s in (41, 42)
+    )
+    ts = TrainSpec(epochs=3, batch_size=1024)
+    hws = jnp.asarray([[72, 56], [70, 50], [72, 56]], jnp.int32)
+    args = (imgs, (3, 5, 4), jax.random.PRNGKey(2), FSPEC, MSPEC, ts,
+            72, 56, 2, ("uint16", "uint16", "uint16"))
+    kw = dict(staging="banded", img_of=(0, 0, 1), hws=hws)
+    batched = fit_rate_experts(*args, **kw)
+    monkeypatch.setattr(loop_mod, "EVAL_UNROLL_PX", 0)
+    # different static arg (multi_k is ignored at 0 vs None distinction
+    # unavailable) — force a fresh trace via a distinct mm_dtype string
+    unrolled = fit_rate_experts(*args, mm_dtype="float32", **kw)
+    np.testing.assert_allclose(
+        np.asarray(unrolled.best_mse), np.asarray(batched.best_mse),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unrolled.best_epoch), np.asarray(batched.best_epoch)
+    )
+    for a, b in zip(jax.tree.leaves(unrolled.params),
+                    jax.tree.leaves(batched.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
