@@ -136,36 +136,60 @@ def main(argv=None) -> int:
     log(f"[workload] {len(jobs)} jobs, {total_px / 1e9:.3f} Gpx, "
         f"{total_spx / 1e9:.3f} Gsubpx")
 
-    # --- phase 2: one dataset encode over every job ---------------------
+    # --- phase 2: dataset encode, one resumable scene at a time ---------
+    # Per-scene encode_dataset + immediate bin writes: at flagship scale
+    # the cross-image grouping degenerates to per-image chunks anyway
+    # (codec.SERIAL_SCENE_BYTES cap), bucketing still shares compiled
+    # programs ACROSS scenes, and a killed run resumes at the next scene.
     cl = CompileLog()
     cl.__enter__()
-    t0 = time.time()
-    results = encode_dataset(jobs, bucket=True)
-    t_enc = time.time() - t0
-    log(f"[encode] {t_enc:.1f}s = {total_px / 1e6 / t_enc:.2f} Mpx/s "
-        f"aggregate ({total_spx / 1e6 / t_enc:.2f} Msubpx/s, "
-        f"{t_enc / len(jobs):.2f} s/job)")
-
-    t0 = time.time()
     bins = []
-    for (stem, K, cfg), (stream, stats) in zip(meta, results):
-        run_dir = os.path.join(run_root, cfg.run_name(stem))
-        os.makedirs(run_dir, exist_ok=True)
-        bin_path = os.path.join(run_dir, f"{stem}.bin")
-        lg = RunLogger(run_dir, "encode.txt", to_stdout=False)
-        write_encode_outputs(
-            lg, bin_path, stem, stream, stats, time.time() - stats.elapsed
-        )
-        lg.close()
-        bins.append((bin_path, run_dir, stem, K, stats))
-    log(f"[encode] stream write + logs {time.time() - t0:.1f}s "
-        f"({sum(len(r[0]) for r in results) / 1e9:.2f} GB of streams)")
+    t_enc = 0.0
+    enc_px = enc_spx = 0
+    for stem, c, h, w in scenes:
+        scene_bins = []
+        for K in ks:
+            cfg = dataclasses.replace(base_cfg, K=K)
+            run_dir = os.path.join(run_root, cfg.run_name(stem))
+            scene_bins.append(
+                (os.path.join(run_dir, f"{stem}.bin"), run_dir, stem, K)
+            )
+        if all(os.path.exists(b[0]) for b in scene_bins):
+            log(f"[encode] {stem}: resume-skip (bins present)")
+            bins += scene_bins
+            continue
+        sjobs = [
+            (imgs[stem], dataclasses.replace(base_cfg, K=K)) for K in ks
+        ]
+        t0 = time.time()
+        results = encode_dataset(sjobs, bucket=True)
+        dt = time.time() - t0
+        t_enc += dt
+        enc_px += h * w * len(ks)
+        enc_spx += c * h * w * len(ks)
+        for (bin_path, run_dir, _, K), (stream, stats) in zip(
+            scene_bins, results
+        ):
+            os.makedirs(run_dir, exist_ok=True)
+            lg = RunLogger(run_dir, "encode.txt", to_stdout=False)
+            write_encode_outputs(
+                lg, bin_path, stem, stream, stats,
+                time.time() - stats.elapsed,
+            )
+            lg.close()
+        log(f"[encode] {stem}: {dt:.1f}s = "
+            f"{h * w * len(ks) / 1e6 / dt:.2f} Mpx/s")
+        bins += scene_bins
+    if t_enc:
+        log(f"[encode] encoded-scene total {t_enc:.1f}s = "
+            f"{enc_px / 1e6 / t_enc:.2f} Mpx/s aggregate "
+            f"({enc_spx / 1e6 / t_enc:.2f} Msubpx/s)")
 
     # --- phase 3: pipelined decode with MSB verification -----------------
     from lbdrn_msic_tpu.eval.metrics import PSNR_PEAK
 
     def stream_gen():
-        for bin_path, _, _, _, _ in bins:
+        for bin_path, _, _, _ in bins:
             with open(bin_path, "rb") as f:
                 yield f.read()
 
@@ -173,7 +197,7 @@ def main(argv=None) -> int:
     n_lossless = 0
     t0 = time.time()
     t_verify = 0.0
-    for (bin_path, run_dir, stem, K, stats), (rec, dstats) in zip(
+    for (bin_path, run_dir, stem, K), (rec, dstats) in zip(
         bins, decode_pipelined_iter(stream_gen())
     ):
         tv = time.time()
@@ -196,7 +220,8 @@ def main(argv=None) -> int:
         if not ok:
             log(f"[decode] !! {stem} K={K} NOT MSB-lossless")
         # Baseline anchor: drop-LSB + the run's lossless base coder
-        base_bits = 8 * (stats.tiles[0].base_bytes + 2)
+        # (base stream size from the decoded header: resume-safe)
+        base_bits = 8 * (sum(dstats.header.base_bytes) + 2)
         base_rec = ((rec >> K) << K).astype(np.float32)
         bmse = float(np.mean((org.astype(np.float32) - base_rec) ** 2))
         bps = float(10 * np.log10(PSNR_PEAK**2 / bmse)) if bmse > 0 else 999.0
